@@ -1,0 +1,138 @@
+"""Padded batch container — the TPU replacement for the reference's Blob.
+
+The reference Blob (dataloaders/blob.py:10-229) concatenates ragged
+per-image tensors with an image-index column, chunks them per GPU and
+scatters. On TPU the whole step is one pjit program over a [B, ...] leading
+batch axis, so the batch is just fixed-shape padded arrays + masks; the
+image-offset arithmetic disappears entirely (a row's image is its batch
+index) and "scatter" is a sharding annotation, not code.
+
+Anchor targets — which the reference computes on CPU dataloader workers at
+collate time (blob.py:92-102) — are computed *in-graph* on device
+(ops/sampling.anchor_targets), so collate here is pure stacking/padding.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence
+
+import numpy as np
+
+from neural_motifs_tpu import config as C
+from neural_motifs_tpu.utils.misc import pad_to
+
+
+class Batch(NamedTuple):
+    """One padded batch. All arrays are numpy on host; jit transfers them."""
+
+    images: np.ndarray      # [B, IM_SCALE, IM_SCALE, 3] float32, normalized NHWC
+    im_hw: np.ndarray       # [B, 2] float32 (valid h, w) at IM_SCALE
+    im_scale: np.ndarray    # [B] float32 (resize factor from original pixels)
+    gt_boxes: np.ndarray    # [B, G, 4] float32 at IM_SCALE coords
+    gt_classes: np.ndarray  # [B, G] int32
+    gt_mask: np.ndarray     # [B, G] bool
+    gt_rels: np.ndarray     # [B, R, 3] int32 (sub, obj, predicate), local inds
+    gt_rel_mask: np.ndarray # [B, R] bool
+    image_ids: np.ndarray   # [B] int32 dataset indices
+    proposals: Optional[np.ndarray] = None       # [B, P, 5] (score, x1, y1, x2, y2)
+    proposal_mask: Optional[np.ndarray] = None   # [B, P] bool
+
+    @property
+    def batch_size(self) -> int:
+        return self.images.shape[0]
+
+
+def collate(entries: Sequence[dict], budgets: C.PadBudgets | None = None,
+            num_proposals: int = 2000) -> Batch:
+    """Stack per-image dicts (from VG.__getitem__ / synthetic) into a Batch.
+
+    Each entry: img [H, W, 3] float32 normalized; img_size (h, w, scale);
+    gt_boxes [g, 4] at BOX_SCALE; gt_classes [g]; gt_relations [r, 3];
+    index; optional proposals [p, 5].
+    """
+    budgets = budgets or C.PadBudgets()
+    g, r = budgets.max_gt_boxes, budgets.max_gt_rels
+    b = len(entries)
+
+    images = np.zeros((b, C.IM_SCALE, C.IM_SCALE, 3), np.float32)
+    im_hw = np.zeros((b, 2), np.float32)
+    im_scale = np.zeros((b,), np.float32)
+    gt_boxes = np.zeros((b, g, 4), np.float32)
+    gt_classes = np.zeros((b, g), np.int32)
+    gt_mask = np.zeros((b, g), bool)
+    gt_rels = np.zeros((b, r, 3), np.int32)
+    gt_rel_mask = np.zeros((b, r), bool)
+    image_ids = np.zeros((b,), np.int32)
+    has_props = all("proposals" in e for e in entries)
+    props = np.zeros((b, num_proposals, 5), np.float32) if has_props else None
+    prop_mask = np.zeros((b, num_proposals), bool) if has_props else None
+
+    for i, e in enumerate(entries):
+        img = e["img"]
+        h, w = img.shape[:2]
+        images[i, :h, :w] = img
+        eh, ew, scale = e["img_size"]
+        im_hw[i] = (eh, ew)
+        im_scale[i] = scale
+        n_g = min(len(e["gt_boxes"]), g)
+        # boxes stored at BOX_SCALE; bring to IM_SCALE (blob.py:76 'scale')
+        gt_boxes[i, :n_g] = e["gt_boxes"][:n_g] * (C.IM_SCALE / C.BOX_SCALE)
+        gt_classes[i, :n_g] = e["gt_classes"][:n_g]
+        gt_mask[i, :n_g] = True
+        rels = e["gt_relations"]
+        # drop relations whose endpoints were truncated away
+        if len(rels):
+            keep = (rels[:, 0] < n_g) & (rels[:, 1] < n_g)
+            rels = rels[keep]
+        n_r = min(len(rels), r)
+        gt_rels[i, :n_r] = rels[:n_r]
+        gt_rel_mask[i, :n_r] = True
+        image_ids[i] = e["index"]
+        if has_props:
+            p = e["proposals"]
+            n_p = min(len(p), num_proposals)
+            props[i, :n_p, 0] = p[:n_p, 0]
+            props[i, :n_p, 1:] = p[:n_p, 1:] * (C.IM_SCALE / C.BOX_SCALE)
+            prop_mask[i, :n_p] = True
+
+    return Batch(images=images, im_hw=im_hw, im_scale=im_scale,
+                 gt_boxes=gt_boxes, gt_classes=gt_classes, gt_mask=gt_mask,
+                 gt_rels=gt_rels, gt_rel_mask=gt_rel_mask, image_ids=image_ids,
+                 proposals=props, proposal_mask=prop_mask)
+
+
+class Loader:
+    """Minimal epoch iterator producing padded Batches.
+
+    Replaces VGDataLoader (dataloaders/visual_genome.py:394-424). Image
+    decode stays on host; everything else runs on device.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool,
+                 budgets: C.PadBudgets | None = None, drop_last: bool = True,
+                 seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.budgets = budgets or C.PadBudgets()
+        self.drop_last = drop_last
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        for s in range(0, len(idx) - (self.batch_size - 1 if self.drop_last else 0),
+                       self.batch_size):
+            chunk = idx[s:s + self.batch_size]
+            yield collate([self.dataset[int(i)] for i in chunk], self.budgets)
+
+    @classmethod
+    def splits(cls, train_data, val_data, batch_size: int,
+               budgets: C.PadBudgets | None = None, **kw):
+        return (cls(train_data, batch_size, shuffle=True, budgets=budgets, **kw),
+                cls(val_data, batch_size, shuffle=False, budgets=budgets, **kw))

@@ -1,0 +1,351 @@
+"""MotifNet relation model — detector + linearized context + edge heads.
+
+TPU re-design of reference lib/rel_model.py:299-560 plus lib/get_union_boxes.py
+and lib/surgery.py. Objects live on a fixed [B, O] grid, relation candidates
+on a fixed [B, P] grid (sampled pairs at train time, all ordered pairs at
+eval), so the full predcls/sgcls/sgdet step — including union-mask
+rasterization, per-class NMS and the final triplet-score sort — is one
+compiled XLA program with no host round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_motifs_tpu import config as C
+from neural_motifs_tpu.models.backbone import VGGRoIHead
+from neural_motifs_tpu.models.context import LinearizedContext
+from neural_motifs_tpu.models.detector import ObjectDetector
+from neural_motifs_tpu.ops import boxes as box_ops
+from neural_motifs_tpu.ops.roi_align import roi_align
+from neural_motifs_tpu.ops.sampling import RelSample, rel_assign_sgdet
+from neural_motifs_tpu.ops.union_boxes import draw_union_boxes
+
+Array = jax.Array
+
+
+def all_pair_indices(num_objs: int) -> tuple[np.ndarray, np.ndarray]:
+    """Static (sub, obj) index arrays for all ordered non-diagonal pairs."""
+    idx = np.arange(num_objs)
+    sub, obj = np.meshgrid(idx, idx, indexing="ij")
+    keep = sub.reshape(-1) != obj.reshape(-1)
+    return sub.reshape(-1)[keep].astype(np.int32), obj.reshape(-1)[keep].astype(np.int32)
+
+
+class UnionVGGHead(nn.Module):
+    """The union-feature fc tower: Linear 25088->4096 -> relu -> dropout ->
+    Linear 4096->4096 (no trailing relu), plus an optional projection when
+    pooling_dim != 4096 (rel_model.py:367-373 via load_vgg flags)."""
+
+    pooling_dim: int = 4096
+    fc_dim: int = 4096
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.reshape(x.shape[:-3] + (-1,)).astype(self.dtype)
+        x = nn.Dense(self.fc_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc0")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Dense(self.fc_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc1")(x)
+        if self.pooling_dim != self.fc_dim:
+            x = nn.Dense(self.pooling_dim, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="proj")(x)
+        return x.astype(jnp.float32)
+
+
+class UnionBoxesAndFeats(nn.Module):
+    """Union-box RoIAlign + rasterized pair-mask conv net, summed
+    (get_union_boxes.py:15-53). The 27x27 two-channel masks come from the
+    pure-jnp rasterizer instead of the reference's CPU Cython call."""
+
+    pooling_size: int = 7
+    dim: int = 512
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, fmap, boxes, pair_sub, pair_obj, pair_valid,
+                 train: bool = False):
+        """fmap [B,H,W,Cf]; boxes [B,O,4]; pair_sub/obj [B,P] int; ->
+        [B,P,7,7,dim]."""
+        take = lambda x, i: jnp.take_along_axis(x, i[..., None], axis=1)
+        sub_boxes = take(boxes, pair_sub)
+        obj_boxes = take(boxes, pair_obj)
+        union = box_ops.union_box(sub_boxes, obj_boxes)
+        pools = roi_align(fmap, union, pair_valid, self.pooling_size,
+                          1.0 / C.FEAT_STRIDE)               # [B,P,7,7,Cf]
+
+        s = self.pooling_size * 4 - 1                        # 27
+        pairs = jnp.concatenate([sub_boxes, obj_boxes], -1)
+        masks = draw_union_boxes(pairs, s) - 0.5             # [B,P,2,S,S]
+        masks = jnp.moveaxis(masks, -3, -1).astype(self.dtype)  # [B,P,S,S,2]
+        b, p = masks.shape[:2]
+        x = masks.reshape(b * p, s, s, 2)
+        x = nn.Conv(self.dim // 2, (7, 7), strides=2, padding=3,
+                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+        x = nn.relu(x)
+        x = nn.BatchNorm(momentum=1.0 - C.BATCHNORM_MOMENTUM,
+                         use_running_average=not train)(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        x = nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype,
+                    param_dtype=jnp.float32)(x)
+        x = nn.relu(x)
+        x = nn.BatchNorm(momentum=1.0 - C.BATCHNORM_MOMENTUM,
+                         use_running_average=not train)(x)
+        x = x.reshape(b, p, self.pooling_size, self.pooling_size, self.dim)
+        return pools + x.astype(pools.dtype)
+
+
+class RelOutput(NamedTuple):
+    """Training-time outputs (the rm_* slice of the reference Result)."""
+    obj_dists: Array           # [B, O, NC] refined logits
+    obj_valid: Array           # [B, O]
+    obj_labels: Optional[Array]
+    rel_dists: Array           # [B, P, NP]
+    rel_labels: Optional[Array]
+    rel_valid: Array           # [B, P]
+    det: Any                   # DetectorOutput
+
+
+class SGPrediction(NamedTuple):
+    """Eval-time decoded scene graph, sorted by triplet score
+    (surgery.py:21-59); host slices by the masks and feeds the evaluator."""
+    boxes: Array       # [B, O, 4]
+    obj_classes: Array # [B, O]
+    obj_scores: Array  # [B, O]
+    obj_valid: Array   # [B, O]
+    rel_inds: Array    # [B, P, 2] sorted
+    rel_scores: Array  # [B, P, NP] sorted
+    rel_valid: Array   # [B, P] sorted
+
+
+class RelModel(nn.Module):
+    """MotifNet (rel_model.py:299-547)."""
+
+    num_classes: int = C.VG_NUM_CLASSES
+    num_rels: int = C.VG_NUM_PREDICATES
+    mode: str = "sgdet"
+    embed_vecs: Any = None           # [NC, 200]
+    decoder_embed_vecs: Any = None   # [NC+1, 100]
+    freq_table: Any = None           # [NC*NC, NP] or None
+    embed_dim: int = 200
+    hidden_dim: int = 256
+    pooling_dim: int = 4096
+    obj_dim: int = 4096
+    nl_obj: int = 1
+    nl_edge: int = 2
+    order: str = "confidence"
+    thresh: float = 0.01
+    use_vision: bool = True
+    use_bias: bool = True
+    use_tanh: bool = True
+    limit_vision: bool = True
+    require_overlap_det: bool = True
+    rec_dropout: float = 0.0
+    pass_in_obj_feats_to_decoder: bool = True
+    pass_in_obj_feats_to_edge: bool = True
+    use_proposals: bool = False
+    dtype: Any = jnp.bfloat16
+    budgets: C.PadBudgets = C.PadBudgets()
+
+    @property
+    def require_overlap(self):
+        return self.require_overlap_det and self.mode == "sgdet"
+
+    def setup(self):
+        det_mode = (("proposals" if self.use_proposals else "refinerels")
+                    if self.mode == "sgdet" else "gtbox")
+        self.detector = ObjectDetector(
+            num_classes=self.num_classes, mode=det_mode, thresh=self.thresh,
+            max_per_img=self.budgets.objs_per_img, dtype=self.dtype,
+            budgets=self.budgets)
+        ev = (self.embed_vecs if self.embed_vecs is not None
+              else np.zeros((self.num_classes, self.embed_dim), np.float32))
+        dev = (self.decoder_embed_vecs if self.decoder_embed_vecs is not None
+               else np.zeros((self.num_classes + 1, 100), np.float32))
+        self.context = LinearizedContext(
+            num_classes=self.num_classes, embed_vecs=ev, decoder_embed_vecs=dev,
+            mode=self.mode, embed_dim=self.embed_dim, hidden_dim=self.hidden_dim,
+            obj_dim=self.obj_dim, nl_obj=self.nl_obj, nl_edge=self.nl_edge,
+            dropout_rate=self.rec_dropout, order=self.order,
+            pass_in_obj_feats_to_decoder=self.pass_in_obj_feats_to_decoder,
+            pass_in_obj_feats_to_edge=self.pass_in_obj_feats_to_edge)
+        self.union_boxes = UnionBoxesAndFeats(pooling_size=7, dim=512,
+                                              dtype=self.dtype)
+        self.roi_fmap = UnionVGGHead(pooling_dim=self.pooling_dim,
+                                     fc_dim=self.obj_dim, dtype=self.dtype)
+        self.roi_fmap_obj = VGGRoIHead(fc_dim=self.obj_dim, dtype=self.dtype)
+
+        # init N(0, 10*sqrt(1/hidden)) (rel_model.py:377-384)
+        self.post_lstm = nn.Dense(
+            self.pooling_dim * 2,
+            kernel_init=nn.initializers.normal(10.0 * float(np.sqrt(1.0 / self.hidden_dim))),
+            bias_init=nn.initializers.zeros)
+        if self.nl_edge == 0:
+            self.post_emb = self.param(
+                "post_emb", nn.initializers.normal(1.0),
+                (self.num_classes, self.pooling_dim * 2))
+        self.rel_compress = nn.Dense(self.num_rels,
+                                     kernel_init=nn.initializers.xavier_normal())
+        if self.use_bias:
+            ft = (self.freq_table if self.freq_table is not None
+                  else np.zeros((self.num_classes ** 2, self.num_rels), np.float32))
+            self.freq_bias = self.param("freq_bias",
+                                        lambda k, s: jnp.asarray(ft),
+                                        (self.num_classes ** 2, self.num_rels))
+
+    # ------------------------------------------------------------------
+
+    def _rel_pairs(self, det, train: bool, gt) -> RelSample:
+        """Candidate pairs: sampled at train time (rel_labels), all ordered
+        (optionally overlapping) pairs at eval (get_rel_inds,
+        rel_model.py:416-437)."""
+        b, o = det.rm_valid.shape
+        if train:
+            if self.mode == "sgdet":
+                rng = self.make_rng("sample")
+                return jax.vmap(rel_assign_sgdet)(
+                    jax.random.split(rng, b), det.rm_boxes, det.rm_obj_labels,
+                    det.rm_valid, gt["boxes"], gt["classes"], gt["mask"],
+                    gt["rels"], gt["rel_mask"])
+            assert det.rel_sample is not None
+            return det.rel_sample
+
+        sub_np, obj_np = all_pair_indices(o)
+        sub = jnp.broadcast_to(jnp.asarray(sub_np), (b, len(sub_np)))
+        obj = jnp.broadcast_to(jnp.asarray(obj_np), (b, len(obj_np)))
+        take = lambda x, i: jnp.take_along_axis(x, i, axis=1)
+        valid = take(det.rm_valid, sub) & take(det.rm_valid, obj)
+        if self.require_overlap:
+            iou = box_ops.bbox_overlaps(det.rm_boxes, det.rm_boxes,
+                                        det.rm_valid, det.rm_valid)
+            pair_iou = jax.vmap(lambda m, s, t: m[s, t])(iou, sub, obj)
+            valid = valid & (pair_iou > 0)
+        return RelSample(sub=sub, obj=obj,
+                         label=jnp.zeros_like(sub), valid=valid)
+
+    def __call__(self, images, im_hw, gt_boxes=None, gt_classes=None,
+                 gt_mask=None, gt_rels=None, gt_rel_mask=None, proposals=None,
+                 proposal_mask=None, train: bool = False):
+        det = self.detector(images, im_hw, gt_boxes, gt_classes, gt_mask,
+                            gt_rels, gt_rel_mask, proposals, proposal_mask,
+                            train=train)
+        boxes, valid = det.rm_boxes, det.rm_valid
+        fmap = jax.lax.stop_gradient(det.fmap)  # rel training freezes detector
+
+        pairs = self._rel_pairs(det, train,
+                                dict(boxes=gt_boxes, classes=gt_classes,
+                                     mask=gt_mask, rels=gt_rels,
+                                     rel_mask=gt_rel_mask))
+
+        pooled = roi_align(fmap, boxes, valid, 7, 1.0 / C.FEAT_STRIDE)
+        obj_fmap = self.roi_fmap_obj(pooled, train=train).astype(jnp.float32)
+
+        obj_labels = det.rm_obj_labels if (train or self.mode == "predcls") else None
+        ctx = self.context(obj_fmap, jax.lax.stop_gradient(det.rm_obj_dists),
+                           boxes, valid, obj_labels=obj_labels,
+                           boxes_per_cls=det.boxes_all, train=train)
+
+        if ctx.edge_ctx is None:
+            edge_rep = self.post_emb[ctx.obj_preds]
+        else:
+            edge_rep = self.post_lstm(ctx.edge_ctx)
+        edge_rep = edge_rep.reshape(edge_rep.shape[:-1] + (2, self.pooling_dim))
+        subj_rep = edge_rep[..., 0, :]
+        obj_rep = edge_rep[..., 1, :]
+
+        take = lambda x, i: jnp.take_along_axis(x, i[..., None], axis=1)
+        prod_rep = take(subj_rep, pairs.sub) * take(obj_rep, pairs.obj)
+
+        if self.use_vision:
+            upools = self.union_boxes(fmap, boxes, pairs.sub, pairs.obj,
+                                      pairs.valid, train=train)
+            vr = self.roi_fmap(upools, train=train)
+            if self.limit_vision:
+                # only the first 2048 dims get the visual gate (rel_model.py:515-519)
+                prod_rep = jnp.concatenate(
+                    [prod_rep[..., :2048] * vr[..., :2048], prod_rep[..., 2048:]], -1)
+            else:
+                prod_rep = prod_rep * vr
+
+        if self.use_tanh:
+            prod_rep = jnp.tanh(prod_rep)
+
+        rel_dists = self.rel_compress(prod_rep)
+        if self.use_bias:
+            sub_cls = jnp.take_along_axis(ctx.obj_preds, pairs.sub, axis=1)
+            obj_cls = jnp.take_along_axis(ctx.obj_preds, pairs.obj, axis=1)
+            rel_dists = rel_dists + self.freq_bias[
+                sub_cls * self.num_classes + obj_cls]
+
+        if train:
+            return RelOutput(obj_dists=ctx.obj_dists, obj_valid=valid,
+                             obj_labels=det.rm_obj_labels, rel_dists=rel_dists,
+                             rel_labels=pairs.label, rel_valid=pairs.valid,
+                             det=det)
+
+        return self.decode(det, ctx, pairs, rel_dists)
+
+    # ------------------------------------------------------------------
+
+    def decode(self, det, ctx, pairs, rel_dists) -> SGPrediction:
+        """Test-time decode + triplet-score sort (rel_model.py:535-547 and
+        surgery.filter_dets)."""
+        probs = jax.nn.softmax(ctx.obj_dists, axis=-1)
+        obj_scores = jnp.take_along_axis(probs, ctx.obj_preds[..., None],
+                                         axis=-1)[..., 0]
+        if self.mode == "sgdet" and det.boxes_all is not None:
+            bboxes = jnp.take_along_axis(
+                det.boxes_all, ctx.obj_preds[..., None, None].astype(jnp.int32)
+                .repeat(4, -1), axis=2)[..., 0, :]
+        else:
+            bboxes = det.rm_boxes
+
+        rel_rep = jax.nn.softmax(rel_dists, axis=-1)
+        take = lambda x, i: jnp.take_along_axis(x, i, axis=1)
+        s0 = take(obj_scores, pairs.sub)
+        s1 = take(obj_scores, pairs.obj)
+        max_rel = jnp.max(rel_rep[..., 1:], axis=-1)
+        triplet = jnp.where(pairs.valid, max_rel * s0 * s1, -1.0)
+        order = jnp.argsort(-triplet, axis=1)
+
+        rel_inds = jnp.stack([take(pairs.sub, order), take(pairs.obj, order)], -1)
+        rel_scores = jnp.take_along_axis(rel_rep, order[..., None], axis=1)
+        rel_valid = take(pairs.valid, order)
+        return SGPrediction(boxes=bboxes, obj_classes=ctx.obj_preds,
+                            obj_scores=obj_scores, obj_valid=det.rm_valid,
+                            rel_inds=rel_inds, rel_scores=rel_scores,
+                            rel_valid=rel_valid)
+
+
+def prediction_to_entries(pred: SGPrediction, batch_im_scale=None) -> list[dict]:
+    """Host-side: slice masks off an SGPrediction and build per-image
+    evaluator entries (boxes rescaled to BOX_SCALE as in train_rels.py:178)."""
+    out = []
+    boxes = np.asarray(pred.boxes)
+    classes = np.asarray(pred.obj_classes)
+    scores = np.asarray(pred.obj_scores)
+    ovalid = np.asarray(pred.obj_valid)
+    rinds = np.asarray(pred.rel_inds)
+    rscores = np.asarray(pred.rel_scores)
+    rvalid = np.asarray(pred.rel_valid)
+    for i in range(boxes.shape[0]):
+        nv = ovalid[i]
+        # keep padded rows in place (indices must stay aligned); mark them
+        rv = rvalid[i]
+        out.append({
+            "pred_boxes": boxes[i] * C.BOX_SCALE / C.IM_SCALE,
+            "pred_classes": classes[i],
+            "obj_scores": scores[i],
+            "pred_rel_inds": rinds[i][rv],
+            "rel_scores": rscores[i][rv],
+            "obj_valid": nv,
+        })
+    return out

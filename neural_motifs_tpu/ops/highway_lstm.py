@@ -1,0 +1,144 @@
+"""Alternating-direction highway LSTM as a lax.scan — replaces the 900-line
+CUDA extension (reference lib/lstm/highway_lstm_cuda/) with ~150 lines whose
+backward pass comes from autodiff.
+
+Cell semantics match the fused CUDA kernel exactly (gate layout from
+highway_lstm_kernel.cu:108-160):
+
+    gates_i = x  @ W_i          # [*, 6H]  (in, forget, act, out, r, lin)
+    gates_h = h  @ W_h          # [*, 5H]  (no recurrent path for lin)
+    g_k     = gates_i[k] + gates_h[k] + b[k]   for k < 5;  g_5 = gates_i[5]
+    c'      = sigmoid(g_1) * c + sigmoid(g_0) * tanh(g_2)
+    h'      = (sigmoid(g_4) * sigmoid(g_3) * tanh(c')
+               + (1 - sigmoid(g_4)) * g_5) * dropout_mask
+
+Layer l runs forward over the sequence if l is even, backward if odd
+(alternating directions, highway_lstm_kernel.cu:393-407). Variable lengths —
+handled in CUDA by shrinking the active minibatch per timestep — become a
+per-step mask on a fixed [B, T, D] layout: masked steps carry (h, c)
+through unchanged and emit zeros, which reproduces the PackedSequence
+zero-padding of the reference output.
+
+Variational (per-sequence) recurrent dropout uses one mask per layer per
+batch row, as in alternating_highway_lstm.py:283-289.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+Array = jax.Array
+
+
+def block_orthogonal(key: jax.Array, shape: tuple[int, int],
+                     block: tuple[int, int], gain: float = 1.0) -> np.ndarray:
+    """Init a [n, m] matrix in (block[0] x block[1]) orthogonal blocks
+    (semantics of alternating_highway_lstm.py:12-59)."""
+    n, m = shape
+    bn, bm = block
+    assert n % bn == 0 and m % bm == 0
+    out = np.zeros(shape, dtype=np.float32)
+    keys = jax.random.split(key, (n // bn) * (m // bm))
+    k = 0
+    for i in range(0, n, bn):
+        for j in range(0, m, bm):
+            q = jax.random.orthogonal(keys[k], max(bn, bm))
+            out[i:i + bn, j:j + bm] = gain * np.asarray(q)[:bn, :bm]
+            k += 1
+    return out
+
+
+def init_highway_lstm_params(key: jax.Array, input_size: int, hidden_size: int,
+                             num_layers: int) -> list[dict[str, Any]]:
+    """Per-layer params: w_i [D_in, 6H], w_h [H, 5H], bias [5H] with forget
+    bias = 1 (alternating_highway_lstm.py:233-257)."""
+    params = []
+    h = hidden_size
+    for layer in range(num_layers):
+        d_in = input_size if layer == 0 else hidden_size
+        key, k1, k2 = jax.random.split(key, 3)
+        w_i = block_orthogonal(k1, (d_in, 6 * h), (d_in, h))
+        w_h = block_orthogonal(k2, (h, 5 * h), (h, h))
+        bias = np.zeros((5 * h,), np.float32)
+        bias[h:2 * h] = 1.0
+        params.append({"w_i": jnp.asarray(w_i), "w_h": jnp.asarray(w_h),
+                       "bias": jnp.asarray(bias)})
+    return params
+
+
+def highway_lstm_cell(x_t: Array, h: Array, c: Array, w_i: Array, w_h: Array,
+                      bias: Array, dropout_mask: Array | None):
+    """One fused cell step. x_t: [B, D_in], h/c: [B, H]."""
+    hsz = h.shape[-1]
+    gi = x_t @ w_i                                   # [B, 6H]
+    gh = h @ w_h                                     # [B, 5H]
+    g = gi[:, :5 * hsz] + gh + bias
+    in_g = jax.nn.sigmoid(g[:, 0 * hsz:1 * hsz])
+    fg_g = jax.nn.sigmoid(g[:, 1 * hsz:2 * hsz])
+    act = jnp.tanh(g[:, 2 * hsz:3 * hsz])
+    out_g = jax.nn.sigmoid(g[:, 3 * hsz:4 * hsz])
+    r_g = jax.nn.sigmoid(g[:, 4 * hsz:5 * hsz])
+    lin = gi[:, 5 * hsz:6 * hsz]
+    c_new = fg_g * c + in_g * act
+    h_new = r_g * (out_g * jnp.tanh(c_new)) + (1.0 - r_g) * lin
+    if dropout_mask is not None:
+        h_new = h_new * dropout_mask
+    return h_new, c_new
+
+
+def _run_layer(x: Array, mask: Array, layer_params, dropout_mask, reverse: bool) -> Array:
+    """x: [B, T, D]; mask: [B, T] (1 = real step). Returns [B, T, H] with
+    zeros at padded steps."""
+    if reverse:
+        x = jnp.flip(x, axis=1)
+        mask = jnp.flip(mask, axis=1)
+    b = x.shape[0]
+    hsz = layer_params["w_h"].shape[0]
+    h0 = jnp.zeros((b, hsz), x.dtype)
+    c0 = jnp.zeros((b, hsz), x.dtype)
+
+    def step(carry, inp):
+        h, c = carry
+        x_t, m_t = inp
+        h_new, c_new = highway_lstm_cell(x_t, h, c, layer_params["w_i"],
+                                         layer_params["w_h"], layer_params["bias"],
+                                         dropout_mask)
+        m = m_t[:, None]
+        h = jnp.where(m, h_new, h)
+        c = jnp.where(m, c_new, c)
+        return (h, c), h_new * m
+
+    xs = (jnp.swapaxes(x, 0, 1), jnp.swapaxes(mask, 0, 1))
+    _, ys = lax.scan(step, (h0, c0), xs)
+    ys = jnp.swapaxes(ys, 0, 1)
+    if reverse:
+        ys = jnp.flip(ys, axis=1)
+    return ys
+
+
+def alternating_highway_lstm(params: list, x: Array, lengths: Array, *,
+                             dropout_p: float = 0.0, train: bool = False,
+                             rng: jax.Array | None = None) -> Array:
+    """Stacked alternating-direction highway LSTM.
+
+    x: [B, T, D_in]; lengths: [B] int. Returns [B, T, H] (last layer
+    hidden states, zero past each sequence's length).
+    """
+    t = x.shape[1]
+    mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(x.dtype)
+    out = x
+    for layer, p in enumerate(params):
+        dm = None
+        if train and dropout_p > 0.0:
+            assert rng is not None, "training with dropout needs an rng"
+            rng, sub = jax.random.split(rng)
+            keep = jax.random.bernoulli(sub, 1.0 - dropout_p,
+                                        (x.shape[0], p["w_h"].shape[0]))
+            dm = keep.astype(x.dtype) / (1.0 - dropout_p)
+        out = _run_layer(out, mask, p, dm, reverse=(layer % 2 == 1))
+    return out

@@ -1,0 +1,115 @@
+"""Greedy NMS as a fixpoint iteration — fully on-device, static shapes.
+
+The reference implements NMS as a CUDA bitmask kernel plus a *host-side*
+greedy scan (reference lib/fpn/nms/src/cuda/nms_kernel.cu:33-132), forcing a
+device<->host sync per call. On TPU we instead compute the pairwise IoU
+matrix once and iterate
+
+    alive_{k+1}[j] = valid[j] & !any_i( alive_k[i] & i<j & IoU(i,j) > t )
+
+over score-sorted boxes. By induction on suppression-chain depth this
+converges to exactly the greedy NMS solution (boxes at chain depth <= k are
+fixed after k sweeps); real detection workloads converge in a handful of
+sweeps, and the loop is bounded by N for worst-case exactness. Each sweep is
+one masked [N, N] reduction — pure VPU work, no host round-trip.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from neural_motifs_tpu.ops.boxes import bbox_overlaps
+
+Array = jax.Array
+
+NEG_INF = -1e10
+
+
+def greedy_nms_mask(boxes: Array, scores: Array, valid: Array,
+                    iou_thresh: float, max_iters: int | None = None) -> Array:
+    """Returns the greedy-NMS keep mask in the *original* box order.
+
+    boxes: [N, 4]; scores: [N]; valid: [N] bool. Padded/invalid rows are
+    never kept and never suppress.
+    """
+    n = boxes.shape[0]
+    masked_scores = jnp.where(valid, scores, NEG_INF)
+    order = jnp.argsort(-masked_scores)
+    b = boxes[order]
+    v = valid[order]
+
+    iou = bbox_overlaps(b, b)
+    idx = jnp.arange(n)
+    sup = (iou > iou_thresh) & (idx[:, None] < idx[None, :])
+    sup = sup & v[:, None] & v[None, :]
+
+    max_iters = n if max_iters is None else max_iters
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        alive, _, it = state
+        new = v & ~jnp.any(sup & alive[:, None], axis=0)
+        return new, jnp.any(new != alive), it + 1
+
+    alive, _, _ = lax.while_loop(cond, body, (v, jnp.bool_(True), jnp.int32(0)))
+
+    keep = jnp.zeros_like(valid).at[order].set(alive)
+    return keep
+
+
+def nms_topk(boxes: Array, scores: Array, valid: Array, iou_thresh: float,
+             pre_topn: int, post_topn: int) -> tuple[Array, Array]:
+    """apply_nms equivalent (reference lib/fpn/nms/functions/nms.py:7-45):
+    score-sort, take pre_topn, greedy-suppress, return the post_topn
+    surviving indices (into the original array) in score order.
+
+    Returns (indices [post_topn] int32, keep_valid [post_topn] bool).
+    Padded slots point at index 0 with keep_valid False.
+    """
+    n = boxes.shape[0]
+    pre = min(pre_topn, n)
+    masked_scores = jnp.where(valid, scores, NEG_INF)
+    top_scores, top_idx = lax.top_k(masked_scores, pre)
+    top_valid = top_scores > NEG_INF / 2
+    keep = greedy_nms_mask(boxes[top_idx], top_scores, top_valid, iou_thresh)
+
+    # Order of top_idx is already score-descending; select kept slots stably.
+    kscore = jnp.where(keep, top_scores, NEG_INF)
+    _, sel = lax.top_k(kscore, min(post_topn, pre))
+    out_idx = top_idx[sel]
+    out_valid = keep[sel]
+    if post_topn > pre:
+        pad = post_topn - pre
+        out_idx = jnp.concatenate([out_idx, jnp.zeros((pad,), out_idx.dtype)])
+        out_valid = jnp.concatenate([out_valid, jnp.zeros((pad,), bool)])
+    return out_idx.astype(jnp.int32), out_valid
+
+
+def per_class_nms_mask(boxes_per_cls: Array, probs: Array, valid: Array,
+                       iou_thresh: float = 0.3, score_thresh: float = 0.05) -> Array:
+    """Per-class NMS keep mask over [N, C] detections.
+
+    Equivalent of the per-class loop in filter_det (reference
+    lib/object_detector.py:438-452): for every non-background class c, run
+    greedy NMS over (boxes[:, c], probs[:, c]) and mark survivors. Classes
+    whose max prob <= score_thresh are dropped entirely. Background (c=0)
+    is never kept.
+
+    boxes_per_cls: [N, C, 4]; probs: [N, C]; valid: [N].
+    Returns keep: [N, C] bool.
+    """
+    n, c = probs.shape
+
+    def one_class(bc, pc):
+        return greedy_nms_mask(bc, pc, valid, iou_thresh)
+
+    keep = jax.vmap(one_class, in_axes=(1, 1), out_axes=1)(boxes_per_cls, probs)
+    cls_ok = (jnp.max(jnp.where(valid[:, None], probs, 0.0), axis=0) > score_thresh)
+    keep = keep & cls_ok[None, :]
+    keep = keep.at[:, 0].set(False)
+    return keep

@@ -1,0 +1,69 @@
+"""RoIAlign as interpolation matmuls — an MXU-native crop_and_resize.
+
+The reference uses a CUDA gather kernel with TF crop_and_resize semantics
+(reference lib/fpn/roi_align/src/cuda/roi_align_kernel.cu:15-80, normalization
+quirk in lib/fpn/roi_align/functions/roi_align.py:25-31). Unrolling that
+normalization, the sample grid in feature-map coordinates is simply
+
+    u_p = linspace(x1 * s, x2 * s, P)        (s = spatial_scale, P = crop size)
+
+with bilinear interpolation between the two neighbouring cells and zero
+extrapolation outside [0, dim-1].
+
+Bilinear interpolation along an axis is a linear map, so instead of gathers
+(slow on TPU) we build per-RoI interpolation matrices R_y [P, H], R_x [P, W]
+of tent weights and evaluate
+
+    out[r] = R_y[r] @ fmap @ R_x[r]^T        (per channel)
+
+two dense einsums that run on the MXU and differentiate for free (the CUDA
+atomicAdd backward of the reference disappears). Invalid/padded RoIs produce
+zeros via the weight matrices.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def interp_matrix(lo: Array, hi: Array, out_size: int, grid_size: int) -> Array:
+    """Tent-weight interpolation matrix.
+
+    lo, hi: [...] sample-interval endpoints in grid coordinates.
+    Returns [..., out_size, grid_size] with rows summing to 1 for in-range
+    sample points and to 0 for out-of-range ones (extrapolation_value = 0,
+    matching roi_align_kernel.cu:46-57).
+    """
+    p = jnp.arange(out_size, dtype=lo.dtype)
+    step = (hi - lo) / (out_size - 1)
+    u = lo[..., None] + p * step[..., None]                     # [..., P]
+    c = jnp.arange(grid_size, dtype=lo.dtype)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(u[..., None] - c))       # [..., P, G]
+    in_range = (u >= 0.0) & (u <= grid_size - 1.0)
+    return w * in_range[..., None]
+
+
+def roi_align(fmap: Array, rois: Array, valid: Array | None, out_size: int,
+              spatial_scale: float) -> Array:
+    """Crop-and-resize RoI pooling.
+
+    fmap: [B, H, W, C] (NHWC — TPU-native layout)
+    rois: [B, R, 4] boxes in image coordinates (x1, y1, x2, y2)
+    valid: [B, R] bool or None
+    Returns [B, R, out_size, out_size, C].
+    """
+    _, h, w, _ = fmap.shape
+    s = jnp.asarray(spatial_scale, fmap.dtype)
+    rois = rois.astype(fmap.dtype)
+    ry = interp_matrix(rois[..., 1] * s, rois[..., 3] * s, out_size, h)  # [B,R,P,H]
+    rx = interp_matrix(rois[..., 0] * s, rois[..., 2] * s, out_size, w)  # [B,R,P,W]
+    if valid is not None:
+        ry = ry * valid[..., None, None].astype(fmap.dtype)
+    # [B,R,P,H] x [B,H,W,C] -> [B,R,P,W,C]
+    t = jnp.einsum("brph,bhwc->brpwc", ry, fmap, preferred_element_type=fmap.dtype)
+    # [B,R,P,W,C] x [B,R,Q,W] -> [B,R,P,Q,C]
+    out = jnp.einsum("brpwc,brqw->brpqc", t, rx, preferred_element_type=fmap.dtype)
+    return out

@@ -1,0 +1,78 @@
+"""RoIAlign: the matmul formulation must match a direct numpy port of the
+TF crop_and_resize semantics used by the reference CUDA kernel
+(roi_align_kernel.cu:15-80 with the (dim-1)/scale normalization of
+functions/roi_align.py:25-31)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from neural_motifs_tpu.ops.roi_align import roi_align
+
+
+def np_crop_and_resize(fmap, box, crop, scale):
+    """Oracle: sample grid linspace(x1*s, x2*s, crop) with bilinear lerp,
+    zero outside [0, dim-1]. fmap: [H, W, C]; box: (x1,y1,x2,y2) image coords."""
+    h, w, c = fmap.shape
+    out = np.zeros((crop, crop, c), np.float32)
+    x1, y1, x2, y2 = box
+    for py in range(crop):
+        in_y = y1 * scale + py * (y2 - y1) * scale / (crop - 1)
+        if in_y < 0 or in_y > h - 1:
+            continue
+        ty, by = int(np.floor(in_y)), int(np.ceil(in_y))
+        ly = in_y - ty
+        for px in range(crop):
+            in_x = x1 * scale + px * (x2 - x1) * scale / (crop - 1)
+            if in_x < 0 or in_x > w - 1:
+                continue
+            lx_, rx = int(np.floor(in_x)), int(np.ceil(in_x))
+            lx = in_x - lx_
+            top = fmap[ty, lx_] + (fmap[ty, rx] - fmap[ty, lx_]) * lx
+            bot = fmap[by, lx_] + (fmap[by, rx] - fmap[by, lx_]) * lx
+            out[py, px] = top + (bot - top) * ly
+    return out
+
+
+def test_matches_crop_and_resize_oracle(rng):
+    h = w = 12
+    c = 3
+    scale = 1.0 / 16
+    fmap = rng.randn(1, h, w, c).astype(np.float32)
+    rois = np.array([[[10.0, 20.0, 100.0, 130.0],
+                      [0.0, 0.0, 176.0, 176.0],
+                      [50.0, 50.0, 60.0, 62.0]]], np.float32)
+    got = np.asarray(roi_align(jnp.asarray(fmap), jnp.asarray(rois), None, 7, scale))
+    for r in range(rois.shape[1]):
+        exp = np_crop_and_resize(fmap[0], rois[0, r], 7, scale)
+        np.testing.assert_allclose(got[0, r], exp, rtol=1e-4, atol=1e-5)
+
+
+def test_out_of_range_extrapolates_zero(rng):
+    fmap = rng.randn(1, 8, 8, 2).astype(np.float32)
+    rois = np.array([[[-50.0, -50.0, 300.0, 300.0]]], np.float32)  # way outside
+    got = np.asarray(roi_align(jnp.asarray(fmap), jnp.asarray(rois), None, 7, 1.0 / 16))
+    exp = np_crop_and_resize(fmap[0], rois[0, 0], 7, 1.0 / 16)
+    np.testing.assert_allclose(got[0, 0], exp, rtol=1e-4, atol=1e-5)
+
+
+def test_invalid_rois_produce_zeros(rng):
+    fmap = rng.randn(2, 8, 8, 4).astype(np.float32)
+    rois = np.tile(np.array([[10.0, 10.0, 90.0, 90.0]], np.float32), (2, 3, 1))
+    valid = np.array([[True, False, True], [False, True, True]])
+    got = np.asarray(roi_align(jnp.asarray(fmap), jnp.asarray(rois),
+                               jnp.asarray(valid), 5, 1.0 / 16))
+    assert np.all(got[0, 1] == 0) and np.all(got[1, 0] == 0)
+    assert np.abs(got[0, 0]).sum() > 0
+
+
+def test_differentiable(rng):
+    fmap = jnp.asarray(rng.randn(1, 8, 8, 2).astype(np.float32))
+    rois = jnp.asarray(np.array([[[5.0, 5.0, 100.0, 100.0]]], np.float32))
+
+    def f(fm):
+        return roi_align(fm, rois, None, 7, 1.0 / 16).sum()
+
+    g = jax.grad(f)(fmap)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
