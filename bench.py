@@ -1,0 +1,111 @@
+"""Benchmark: MotifNet SGDet inference throughput (images/sec/chip) at full
+VG scale (592x592 images, 151 classes, 51 predicates, top-64 objects, all
+overlapping pairs) on the attached TPU.
+
+Baseline: the reference publishes no in-repo throughput number
+(BASELINE.md); the widely-reported eval speed of the PyTorch 0.3 SGDet
+pipeline on a Titan X is ~2 img/s (sequential host NMS + python decoder
+loop). BASELINE.json's target is >=5x Titan-X img/s/chip, so
+vs_baseline = imgs_per_sec / 2.0 — the target is vs_baseline >= 5.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+TITAN_X_SGDET_IMG_S = 2.0  # documented estimate, see module docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from neural_motifs_tpu import config as C
+    from neural_motifs_tpu.models.rel_model import RelModel
+
+    batch = int(__import__("os").environ.get("NM_BENCH_BATCH", "4"))
+    iters = int(__import__("os").environ.get("NM_BENCH_ITERS", "10"))
+
+    budgets = C.PadBudgets()
+    rng = np.random.RandomState(0)
+    nc, npred = C.VG_NUM_CLASSES, C.VG_NUM_PREDICATES
+    model = RelModel(
+        num_classes=nc, num_rels=npred, mode="sgdet", budgets=budgets,
+        dtype=jnp.bfloat16, hidden_dim=512, pooling_dim=4096, obj_dim=4096,
+        embed_dim=200, nl_obj=2, nl_edge=4, order="leftright", use_bias=True,
+        use_tanh=False, limit_vision=False, thresh=0.05,
+        embed_vecs=rng.randn(nc, 200).astype(np.float32) * 0.1,
+        decoder_embed_vecs=rng.randn(nc + 1, 100).astype(np.float32) * 0.1,
+        freq_table=rng.randn(nc * nc, npred).astype(np.float32) * 0.1)
+
+    g, r = budgets.max_gt_boxes, budgets.max_gt_rels
+    im = C.IM_SCALE
+    images = rng.randn(batch, im, im, 3).astype(np.float32) * 0.3
+    im_hw = np.full((batch, 2), float(im), np.float32)
+    gt_boxes = np.zeros((batch, g, 4), np.float32)
+    gt_classes = np.zeros((batch, g), np.int32)
+    gt_mask = np.zeros((batch, g), bool)
+    gt_rels = np.zeros((batch, r, 3), np.int32)
+    gt_rel_mask = np.zeros((batch, r), bool)
+    for i in range(batch):
+        n = 12
+        xy = rng.uniform(0, im * 0.6, (n, 2))
+        wh = rng.uniform(30, im * 0.35, (n, 2))
+        gt_boxes[i, :n] = np.concatenate([xy, np.minimum(xy + wh, im - 1)], 1)
+        gt_classes[i, :n] = rng.randint(1, nc, n)
+        gt_mask[i, :n] = True
+
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    t0 = time.time()
+    variables = model.init(rngs, images=jnp.asarray(images),
+                           im_hw=jnp.asarray(im_hw),
+                           gt_boxes=jnp.asarray(gt_boxes),
+                           gt_classes=jnp.asarray(gt_classes),
+                           gt_mask=jnp.asarray(gt_mask),
+                           gt_rels=jnp.asarray(gt_rels),
+                           gt_rel_mask=jnp.asarray(gt_rel_mask), train=True)
+    print(f"# init {time.time() - t0:.1f}s", flush=True)
+
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    @jax.jit
+    def forward(params, batch_stats, images, im_hw):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           images=images, im_hw=im_hw, train=False,
+                           rngs={"sample": jax.random.PRNGKey(0)})
+
+    dimages = jax.device_put(jnp.asarray(images))
+    dhw = jax.device_put(jnp.asarray(im_hw))
+
+    t0 = time.time()
+    out = forward(params, batch_stats, dimages, dhw)
+    jax.block_until_ready(out)
+    print(f"# compile+first {time.time() - t0:.1f}s", flush=True)
+
+    # warmup
+    out = forward(params, batch_stats, dimages, dhw)
+    jax.block_until_ready(out)
+
+    t0 = time.time()
+    for _ in range(iters):
+        out = forward(params, batch_stats, dimages, dhw)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    img_s = batch * iters / dt
+
+    print(json.dumps({
+        "metric": "sgdet_inference_imgs_per_sec_per_chip",
+        "value": round(img_s, 3),
+        "unit": "images/sec",
+        "vs_baseline": round(img_s / TITAN_X_SGDET_IMG_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

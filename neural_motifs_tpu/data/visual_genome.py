@@ -32,14 +32,8 @@ from neural_motifs_tpu.data.transforms import square_pad_resize
 
 
 def _np_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    iw = (np.minimum(a[:, None, 2], b[None, :, 2]) -
-          np.maximum(a[:, None, 0], b[None, :, 0]) + 1).clip(0)
-    ih = (np.minimum(a[:, None, 3], b[None, :, 3]) -
-          np.maximum(a[:, None, 1], b[None, :, 1]) + 1).clip(0)
-    inter = iw * ih
-    aa = (a[:, 2] - a[:, 0] + 1) * (a[:, 3] - a[:, 1] + 1)
-    ab = (b[:, 2] - b[:, 0] + 1) * (b[:, 3] - b[:, 1] + 1)
-    return inter / np.maximum(aa[:, None] + ab[None, :] - inter, 1e-12)
+    from neural_motifs_tpu.runtime import bbox_overlaps
+    return bbox_overlaps(a, b)
 
 
 CORRUPTED_IMS = ("1592.jpg", "1722.jpg", "4616.jpg", "4617.jpg")

@@ -17,12 +17,9 @@ def box_filter(boxes: np.ndarray, must_overlap: bool = False) -> np.ndarray:
     """Candidate (i, j) pairs: overlapping pairs if must_overlap (falling
     back to all pairs when none overlap), else all ordered non-diag pairs
     (get_dataset_counts.py:49-67)."""
+    from neural_motifs_tpu.runtime import bbox_intersections
     n = boxes.shape[0]
-    iw = (np.minimum(boxes[:, None, 2], boxes[None, :, 2]) -
-          np.maximum(boxes[:, None, 0], boxes[None, :, 0]) + 1).clip(0)
-    ih = (np.minimum(boxes[:, None, 3], boxes[None, :, 3]) -
-          np.maximum(boxes[:, None, 1], boxes[None, :, 1]) + 1).clip(0)
-    overlap = (iw * ih) > 0
+    overlap = bbox_intersections(boxes, boxes) > 0
     np.fill_diagonal(overlap, False)
     all_pairs = ~np.eye(n, dtype=bool)
     if must_overlap:

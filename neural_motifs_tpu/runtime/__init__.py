@@ -1,0 +1,146 @@
+"""Native host runtime bindings (ctypes over csrc/libnm_runtime.so) with
+numpy fallbacks. Covers the host-side hot paths the reference served with
+Cython: pairwise IoU/intersections (dataset filtering, frequency counts,
+evaluator) and greedy NMS (tooling/tests)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib_path() -> str:
+    return os.path.join(os.path.dirname(__file__), "..", "..", "csrc",
+                        "libnm_runtime.so")
+
+
+def load_library(build_if_missing: bool = True):
+    """Load (and lazily build) the native library; returns None on failure."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.path.abspath(_lib_path())
+    if not os.path.exists(path) and build_if_missing:
+        try:
+            subprocess.run(["make", "-C", os.path.dirname(path)], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    lib.nm_bbox_overlaps.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double)]
+    lib.nm_bbox_intersections.argtypes = lib.nm_bbox_overlaps.argtypes
+    lib.nm_greedy_nms.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_float, ctypes.POINTER(ctypes.c_uint8)]
+    lib.nm_greedy_nms.restype = ctypes.c_int64
+    lib.nm_count_triples.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+    _LIB = lib
+    return lib
+
+
+def _as(arr, dtype):
+    return np.ascontiguousarray(arr, dtype=dtype)
+
+
+def bbox_overlaps(boxes: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    """[N,4] x [K,4] -> [N,K] IoU (+1 inclusive convention)."""
+    lib = load_library()
+    b = _as(boxes, np.float64)
+    q = _as(queries, np.float64)
+    n, k = len(b), len(q)
+    if lib is not None and n * k > 0:
+        out = np.empty((n, k), np.float64)
+        lib.nm_bbox_overlaps(
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+            q.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), k,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        return out
+    # numpy fallback
+    iw = (np.minimum(b[:, None, 2], q[None, :, 2]) -
+          np.maximum(b[:, None, 0], q[None, :, 0]) + 1).clip(0)
+    ih = (np.minimum(b[:, None, 3], q[None, :, 3]) -
+          np.maximum(b[:, None, 1], q[None, :, 1]) + 1).clip(0)
+    inter = iw * ih
+    ab = (b[:, 2] - b[:, 0] + 1) * (b[:, 3] - b[:, 1] + 1)
+    aq = (q[:, 2] - q[:, 0] + 1) * (q[:, 3] - q[:, 1] + 1)
+    return inter / np.maximum(ab[:, None] + aq[None, :] - inter, 1e-12)
+
+
+def bbox_intersections(boxes: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    lib = load_library()
+    b = _as(boxes, np.float64)
+    q = _as(queries, np.float64)
+    n, k = len(b), len(q)
+    if lib is not None and n * k > 0:
+        out = np.empty((n, k), np.float64)
+        lib.nm_bbox_intersections(
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), n,
+            q.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), k,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+        return out
+    iw = (np.minimum(b[:, None, 2], q[None, :, 2]) -
+          np.maximum(b[:, None, 0], q[None, :, 0]) + 1).clip(0)
+    ih = (np.minimum(b[:, None, 3], q[None, :, 3]) -
+          np.maximum(b[:, None, 1], q[None, :, 1]) + 1).clip(0)
+    aq = (q[:, 2] - q[:, 0] + 1) * (q[:, 3] - q[:, 1] + 1)
+    return iw * ih / aq[None, :]
+
+
+def greedy_nms(boxes: np.ndarray, scores: np.ndarray, iou_thresh: float
+               ) -> np.ndarray:
+    """Host greedy NMS; returns keep mask [N] bool."""
+    lib = load_library()
+    b = _as(boxes, np.float32)
+    order = _as(np.argsort(-np.asarray(scores)), np.int64)
+    n = len(b)
+    if lib is not None and n:
+        keep = np.zeros(n, np.uint8)
+        lib.nm_greedy_nms(
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+            ctypes.c_float(iou_thresh),
+            keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return keep.astype(bool)
+    keep = np.zeros(n, bool)
+    dead = np.zeros(n, bool)
+    iou = bbox_overlaps(b, b)
+    for i in order:
+        if dead[i]:
+            continue
+        keep[i] = True
+        dead |= iou[i] > iou_thresh
+        dead[i] = True
+    return keep
+
+
+def count_triples(rows: np.ndarray, nc: int, npred: int) -> np.ndarray:
+    """[N,3] (sub_cls, obj_cls, predicate) -> [nc, nc, npred] counts."""
+    lib = load_library()
+    r = _as(rows, np.int32)
+    if lib is not None and len(r):
+        table = np.zeros(nc * nc * npred, np.int64)
+        lib.nm_count_triples(
+            r.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(r), nc, npred,
+            table.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return table.reshape(nc, nc, npred)
+    table = np.zeros((nc, nc, npred), np.int64)
+    for s, o, p in r:
+        table[s, o, p] += 1
+    return table

@@ -1,0 +1,285 @@
+"""Checkpointing: msgpack save/load, optimistic partial restore, and the
+PyTorch-checkpoint importer for parity against the released reference
+weights.
+
+Replaces the reference's torch.save-per-epoch + filename-sniffing weight
+surgery (models/train_rels.py:75-95, lib/pytorch_misc.py:14-33) with an
+explicit param-tree remapper:
+
+  * save/load: flax msgpack of {params, batch_stats, step}
+  * optimistic_restore: copy leaves whose path+shape match, report the rest
+  * import_torchvision_vgg16 / import_reference_checkpoint: convert torch
+    tensors (OIHW conv, [out,in] linear, CHW-flatten fc0) into our
+    NHWC/HWIO pytree
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import serialization
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+
+def save_checkpoint(path: str, state, extra: dict | None = None):
+    payload = {
+        "step": int(state.step),
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+    }
+    if extra:
+        payload.update(extra)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+
+
+def load_checkpoint(path: str) -> dict:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def optimistic_restore(params: Any, loaded: Any, verbose: bool = True) -> Any:
+    """Copy name+shape-matching leaves from `loaded` into `params`
+    (semantics of reference optimistic_restore, pytorch_misc.py:14-33)."""
+    flat_p = flatten_dict(jax.device_get(params), sep="/")
+    flat_l = flatten_dict(loaded, sep="/")
+    out = {}
+    n_copied = 0
+    for k, v in flat_p.items():
+        if k in flat_l and tuple(np.shape(flat_l[k])) == tuple(np.shape(v)):
+            out[k] = jnp.asarray(flat_l[k])
+            n_copied += 1
+        else:
+            out[k] = v
+            if verbose and k in flat_l:
+                print(f"optimistic_restore: shape mismatch at {k}: "
+                      f"{np.shape(flat_l[k])} vs {np.shape(v)}")
+            elif verbose:
+                print(f"optimistic_restore: missing {k}")
+    if verbose:
+        extra = set(flat_l) - set(flat_p)
+        for k in sorted(extra):
+            print(f"optimistic_restore: unused checkpoint key {k}")
+        print(f"optimistic_restore: copied {n_copied}/{len(flat_p)} leaves")
+    return unflatten_dict(out, sep="/")
+
+
+# ---------------------------------------------------------------------------
+# Torch importers
+# ---------------------------------------------------------------------------
+
+def _conv_t(w) -> np.ndarray:
+    """torch conv OIHW -> flax HWIO."""
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def _lin_t(w) -> np.ndarray:
+    """torch linear [out, in] -> flax [in, out]."""
+    return np.transpose(np.asarray(w), (1, 0))
+
+
+def _fc0_t(w, channels: int = 512, pool: int = 7) -> np.ndarray:
+    """First fc after RoI pooling: torch flattens (C, H, W); we flatten
+    (H, W, C). Reorder the input dim accordingly."""
+    w = np.asarray(w)                              # [out, C*H*W]
+    out = w.shape[0]
+    w = w.reshape(out, channels, pool, pool)
+    w = np.transpose(w, (0, 2, 3, 1)).reshape(out, pool * pool * channels)
+    return np.transpose(w, (1, 0))
+
+
+# torchvision vgg16 'features' conv indices in order
+_VGG16_CONV_IDX = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+
+
+def import_torchvision_vgg16(state_dict: dict) -> tuple[dict, dict]:
+    """torchvision vgg16 state_dict -> (features_params, classifier_params)
+    for VGG16Features / VGGRoIHead."""
+    feats = {}
+    for i, idx in enumerate(_VGG16_CONV_IDX):
+        feats[f"Conv_{i}"] = {
+            "kernel": _conv_t(state_dict[f"features.{idx}.weight"]),
+            "bias": np.asarray(state_dict[f"features.{idx}.bias"]),
+        }
+    cls = {
+        "fc0": {"kernel": _fc0_t(state_dict["classifier.0.weight"]),
+                "bias": np.asarray(state_dict["classifier.0.bias"])},
+        "fc1": {"kernel": _lin_t(state_dict["classifier.3.weight"]),
+                "bias": np.asarray(state_dict["classifier.3.bias"])},
+    }
+    return feats, cls
+
+
+def _torch_load(path: str) -> dict:
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    return {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+
+
+def import_reference_detector(path_or_sd) -> dict:
+    """Reference vg-faster-rcnn checkpoint -> ObjectDetector param subtree.
+
+    Maps (object_detector.py naming):
+      features.N.*      -> features/Conv_i
+      roi_fmap.{0,3}.*  -> roi_head/fc{0,1}
+      score_fc / bbox_fc
+      rpn_head.conv.{0,2}.* -> rpn_head/Conv_{0,1}
+    """
+    sd = _torch_load(path_or_sd) if isinstance(path_or_sd, str) else path_or_sd
+    det = {"features": {}, "roi_head": {}, "rpn_head": {}}
+    for i, idx in enumerate(_VGG16_CONV_IDX):
+        det["features"][f"Conv_{i}"] = {
+            "kernel": _conv_t(sd[f"features.{idx}.weight"]),
+            "bias": np.asarray(sd[f"features.{idx}.bias"])}
+    det["roi_head"] = {
+        "fc0": {"kernel": _fc0_t(sd["roi_fmap.0.weight"]),
+                "bias": np.asarray(sd["roi_fmap.0.bias"])},
+        "fc1": {"kernel": _lin_t(sd["roi_fmap.3.weight"]),
+                "bias": np.asarray(sd["roi_fmap.3.bias"])},
+    }
+    det["score_fc"] = {"kernel": _lin_t(sd["score_fc.weight"]),
+                       "bias": np.asarray(sd["score_fc.bias"])}
+    det["bbox_fc"] = {"kernel": _lin_t(sd["bbox_fc.weight"]),
+                      "bias": np.asarray(sd["bbox_fc.bias"])}
+    det["rpn_head"] = {
+        "Conv_0": {"kernel": _conv_t(sd["rpn_head.conv.0.weight"]),
+                   "bias": np.asarray(sd["rpn_head.conv.0.bias"])},
+        "Conv_1": {"kernel": _conv_t(sd["rpn_head.conv.2.weight"]),
+                   "bias": np.asarray(sd["rpn_head.conv.2.bias"])},
+    }
+    return det
+
+
+def _split_lstm_flat(flat_w: np.ndarray, flat_b: np.ndarray, input_size: int,
+                     hidden_size: int, num_layers: int) -> list[dict]:
+    """Unpack the reference AlternatingHighwayLSTM flat weight vector
+    (alternating_highway_lstm.py:218-257 layout: per layer, input weights
+    [d_in, 6H] then recurrent [H, 5H]; bias [5H] per layer)."""
+    out = []
+    h = hidden_size
+    wi_ofs = 0
+    b_ofs = 0
+    for layer in range(num_layers):
+        d_in = input_size if layer == 0 else h
+        n_wi = d_in * 6 * h
+        w_i = flat_w[wi_ofs:wi_ofs + n_wi].reshape(d_in, 6 * h)
+        wi_ofs += n_wi
+        n_wh = h * 5 * h
+        w_h = flat_w[wi_ofs:wi_ofs + n_wh].reshape(h, 5 * h)
+        wi_ofs += n_wh
+        bias = flat_b[b_ofs:b_ofs + 5 * h]
+        b_ofs += 5 * h
+        out.append({f"l{layer}_w_i": w_i, f"l{layer}_w_h": w_h,
+                    f"l{layer}_bias": bias})
+    return out
+
+
+def import_reference_rel_model(path_or_sd, *, hidden_dim: int, obj_dim: int,
+                               embed_dim: int, nl_obj: int, nl_edge: int,
+                               pooling_dim: int,
+                               pass_in_obj_feats_to_decoder: bool = True,
+                               pass_in_obj_feats_to_edge: bool = True) -> dict:
+    """Reference vgrel checkpoint -> RelModel params subtree (best effort;
+    unknown keys are reported by optimistic_restore at merge time)."""
+    sd = _torch_load(path_or_sd) if isinstance(path_or_sd, str) else path_or_sd
+    p: dict = {}
+
+    # detector subtree
+    det_sd = {k[len("detector."):]: v for k, v in sd.items()
+              if k.startswith("detector.")}
+    if det_sd:
+        p["detector"] = import_reference_detector(det_sd)
+
+    # rel-model towers
+    if "roi_fmap.1.0.weight" in sd:
+        p["roi_fmap"] = {
+            "fc0": {"kernel": _fc0_t(sd["roi_fmap.1.0.weight"]),
+                    "bias": np.asarray(sd["roi_fmap.1.0.bias"])},
+            "fc1": {"kernel": _lin_t(sd["roi_fmap.1.3.weight"]),
+                    "bias": np.asarray(sd["roi_fmap.1.3.bias"])},
+        }
+    if "roi_fmap_obj.0.weight" in sd:
+        p["roi_fmap_obj"] = {
+            "fc0": {"kernel": _fc0_t(sd["roi_fmap_obj.0.weight"]),
+                    "bias": np.asarray(sd["roi_fmap_obj.0.bias"])},
+            "fc1": {"kernel": _lin_t(sd["roi_fmap_obj.3.weight"]),
+                    "bias": np.asarray(sd["roi_fmap_obj.3.bias"])},
+        }
+
+    ctx: dict = {}
+    if "context.obj_embed.weight" in sd:
+        ctx["obj_embed"] = np.asarray(sd["context.obj_embed.weight"])
+        ctx["obj_embed2"] = np.asarray(sd["context.obj_embed2.weight"])
+        ctx["pos_bn"] = {"scale": np.asarray(sd["context.pos_embed.0.weight"]),
+                         "bias": np.asarray(sd["context.pos_embed.0.bias"])}
+        ctx["pos_fc"] = {"kernel": _lin_t(sd["context.pos_embed.1.weight"]),
+                         "bias": np.asarray(sd["context.pos_embed.1.bias"])}
+    if nl_obj > 0 and "context.obj_ctx_rnn.weight" in sd:
+        layers = _split_lstm_flat(np.asarray(sd["context.obj_ctx_rnn.weight"]),
+                                  np.asarray(sd["context.obj_ctx_rnn.bias"]),
+                                  obj_dim + embed_dim + 128, hidden_dim, nl_obj)
+        ctx["obj_ctx_rnn"] = {k: v for d in layers for k, v in d.items()}
+        dec_in = hidden_dim + ((obj_dim + embed_dim)
+                               if pass_in_obj_feats_to_decoder else 0)
+        ctx["decoder_rnn"] = {
+            "obj_embed": np.asarray(sd["context.decoder_rnn.obj_embed.weight"]),
+            "input_w": _lin_t(sd["context.decoder_rnn.input_linearity.weight"]),
+            "input_b": np.asarray(sd["context.decoder_rnn.input_linearity.bias"]),
+            "state_w": _lin_t(sd["context.decoder_rnn.state_linearity.weight"]),
+            "state_b": np.asarray(sd["context.decoder_rnn.state_linearity.bias"]),
+            "out_w": _lin_t(sd["context.decoder_rnn.out.weight"]),
+            "out_b": np.asarray(sd["context.decoder_rnn.out.bias"]),
+        }
+    if nl_edge > 0 and "context.edge_ctx_rnn.weight" in sd:
+        e_in = embed_dim + (hidden_dim if nl_obj > 0 else 0) + \
+            (obj_dim if pass_in_obj_feats_to_edge else 0)
+        layers = _split_lstm_flat(np.asarray(sd["context.edge_ctx_rnn.weight"]),
+                                  np.asarray(sd["context.edge_ctx_rnn.bias"]),
+                                  e_in, hidden_dim, nl_edge)
+        ctx["edge_ctx_rnn"] = {k: v for d in layers for k, v in d.items()}
+    if ctx:
+        p["context"] = ctx
+
+    if "post_lstm.weight" in sd:
+        p["post_lstm"] = {"kernel": _lin_t(sd["post_lstm.weight"]),
+                          "bias": np.asarray(sd["post_lstm.bias"])}
+    if "rel_compress.weight" in sd:
+        p["rel_compress"] = {"kernel": _lin_t(sd["rel_compress.weight"]),
+                             "bias": np.asarray(sd["rel_compress.bias"])}
+    if "freq_bias.obj_baseline.weight" in sd:
+        p["freq_bias"] = np.asarray(sd["freq_bias.obj_baseline.weight"])
+
+    # union conv net (get_union_boxes.py:31-39): conv7x7, BN, conv3x3, BN
+    if "union_boxes.conv.0.weight" in sd:
+        p["union_boxes"] = {
+            "Conv_0": {"kernel": _conv_t(sd["union_boxes.conv.0.weight"]),
+                       "bias": np.asarray(sd["union_boxes.conv.0.bias"])},
+            "BatchNorm_0": {"scale": np.asarray(sd["union_boxes.conv.2.weight"]),
+                            "bias": np.asarray(sd["union_boxes.conv.2.bias"])},
+            "Conv_1": {"kernel": _conv_t(sd["union_boxes.conv.4.weight"]),
+                       "bias": np.asarray(sd["union_boxes.conv.4.bias"])},
+            "BatchNorm_1": {"scale": np.asarray(sd["union_boxes.conv.6.weight"]),
+                            "bias": np.asarray(sd["union_boxes.conv.6.bias"])},
+        }
+    return p
+
+
+def stage_transfer_fc(rel_params: dict, det_sd: dict) -> dict:
+    """The detector->rel 'weight surgery' (train_rels.py:87-95): copy the
+    detector's RoI fc weights into both rel-model VGG towers."""
+    fc = {
+        "fc0": {"kernel": _fc0_t(det_sd["roi_fmap.0.weight"]),
+                "bias": np.asarray(det_sd["roi_fmap.0.bias"])},
+        "fc1": {"kernel": _lin_t(det_sd["roi_fmap.3.weight"]),
+                "bias": np.asarray(det_sd["roi_fmap.3.bias"])},
+    }
+    out = dict(rel_params)
+    out["roi_fmap"] = {**rel_params.get("roi_fmap", {}), **fc}
+    out["roi_fmap_obj"] = {**rel_params.get("roi_fmap_obj", {}), **fc}
+    return out

@@ -1,0 +1,77 @@
+"""Relation evaluation entry point (equivalent of reference
+models/eval_rels.py): runs the model over val/test, prints R@20/50/100,
+optionally caches prediction entries."""
+
+from __future__ import annotations
+
+import pickle
+
+import jax
+import jax.numpy as jnp
+
+from neural_motifs_tpu import config as C
+from neural_motifs_tpu.data.batching import Loader
+from neural_motifs_tpu.evaluation.sg_eval import BasicSceneGraphEvaluator
+from neural_motifs_tpu.models.rel_model import prediction_to_entries
+from neural_motifs_tpu.training import checkpoint as ckpt_lib
+from neural_motifs_tpu.training.train_rels import batch_kwargs, build_model
+
+
+def main(argv=None):
+    cfg = C.ModelConfig.from_args(argv)
+    try:
+        from neural_motifs_tpu.data.visual_genome import VG
+        train, val, test = VG.splits(num_val_im=cfg.val_size,
+                                     filter_duplicate_rels=True,
+                                     use_proposals=cfg.use_proposals,
+                                     filter_non_overlap=cfg.mode == "sgdet")
+    except FileNotFoundError as e:
+        print(f"[eval_rels] {e}\nFalling back to SyntheticVG.")
+        from neural_motifs_tpu.data.synthetic import SyntheticVG
+        train, val, test = SyntheticVG.splits(num_images=32)
+    data = test if cfg.test else val
+
+    model = build_model(cfg, train)
+    loader = Loader(data, cfg.batch_size * cfg.num_devices, shuffle=False,
+                    budgets=cfg.budgets)
+    example = next(iter(loader))
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "sample": jax.random.PRNGKey(1),
+                            "dropout": jax.random.PRNGKey(2)},
+                           train=True, **batch_kwargs(example))
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    if cfg.ckpt:
+        if cfg.ckpt.endswith((".tar", ".pth", ".pt")):
+            loaded = ckpt_lib.import_reference_rel_model(
+                cfg.ckpt, hidden_dim=cfg.hidden_dim, obj_dim=4096,
+                embed_dim=cfg.embed_dim, nl_obj=cfg.nl_obj, nl_edge=cfg.nl_edge,
+                pooling_dim=cfg.pooling_dim)
+        else:
+            loaded = ckpt_lib.load_checkpoint(cfg.ckpt)["params"]
+        params = ckpt_lib.optimistic_restore(params, loaded)
+
+    eval_fn = jax.jit(lambda p, bs, kw: model.apply(
+        {"params": p, "batch_stats": bs}, train=False,
+        rngs={"sample": jax.random.PRNGKey(0)}, **kw))
+
+    evaluator = BasicSceneGraphEvaluator(cfg.mode, multiple_preds=cfg.multi_pred)
+    all_pred_entries = []
+    for batch in loader:
+        pred = eval_fn(params, batch_stats, batch_kwargs(batch))
+        for i, entry in enumerate(prediction_to_entries(jax.device_get(pred))):
+            idx = int(batch.image_ids[i])
+            gt = {"gt_classes": data.gt_classes[idx].copy(),
+                  "gt_relations": data.relationships[idx].copy(),
+                  "gt_boxes": data.gt_boxes[idx].copy()}
+            evaluator.evaluate_scene_graph_entry(gt, entry)
+            if cfg.cache:
+                all_pred_entries.append(entry)
+    evaluator.print_stats()
+    if cfg.cache:
+        with open(cfg.cache, "wb") as f:
+            pickle.dump(all_pred_entries, f)
+    return evaluator
+
+
+if __name__ == "__main__":
+    main()

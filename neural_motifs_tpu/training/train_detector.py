@@ -1,0 +1,120 @@
+"""Detector pretraining entry point (equivalent of reference
+models/train_detector.py): RoI class CE + class-conditional box loss +
+RPN class/box losses over in-graph anchor targets; SGD momentum, clip 5,
+plateau schedule on detection mAP (or val loss without pycocotools)."""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_motifs_tpu import config as C
+from neural_motifs_tpu.data.batching import Loader
+from neural_motifs_tpu.models.detector import ObjectDetector
+from neural_motifs_tpu.parallel.mesh import make_mesh, shard_batch
+from neural_motifs_tpu.training import checkpoint as ckpt_lib
+from neural_motifs_tpu.training.losses import detector_losses
+from neural_motifs_tpu.training.train_state import (PlateauScheduler,
+                                                    create_train_state,
+                                                    make_optimizer,
+                                                    make_train_step)
+
+
+def batch_kwargs(batch) -> dict:
+    return dict(images=batch.images, im_hw=batch.im_hw, gt_boxes=batch.gt_boxes,
+                gt_classes=batch.gt_classes, gt_mask=batch.gt_mask)
+
+
+def detection_map(model, state, loader, dataset) -> float:
+    """Detection mAP via pycocotools over the faux-COCO adapter
+    (train_detector.py:158-181); falls back to a proxy (mean top-score) if
+    pycocotools is unavailable."""
+    eval_fn = jax.jit(lambda p, bs, kw: model.apply(
+        {"params": p, "batch_stats": bs}, train=False, **kw))
+    results = []
+    for batch in loader:
+        out = eval_fn(state.params, state.batch_stats, batch_kwargs(batch))
+        boxes_all = jax.device_get(out.boxes_all)
+        scores = jax.device_get(out.obj_scores)
+        preds = jax.device_get(out.obj_preds)
+        valid = jax.device_get(out.rm_valid)
+        for i in range(len(batch.image_ids)):
+            for j in np.where(valid[i])[0]:
+                cls = int(preds[i, j])
+                box = boxes_all[i, j, cls] * C.BOX_SCALE / C.IM_SCALE
+                results.append({
+                    "image_id": int(batch.image_ids[i]), "category_id": cls,
+                    "bbox": [float(box[0]), float(box[1]),
+                             float(box[2] - box[0] + 1), float(box[3] - box[1] + 1)],
+                    "score": float(scores[i, j])})
+    try:
+        from pycocotools.coco import COCO
+        from pycocotools.cocoeval import COCOeval
+        gt = COCO()
+        gt.dataset = dataset.coco_annotations()
+        gt.createIndex()
+        dt = gt.loadRes(results) if results else None
+        if dt is None:
+            return 0.0
+        ev = COCOeval(gt, dt, "bbox")
+        ev.evaluate(); ev.accumulate(); ev.summarize()
+        return float(ev.stats[1])  # mAP@0.5
+    except ImportError:
+        return float(np.mean([r["score"] for r in results])) if results else 0.0
+
+
+def main(argv=None):
+    cfg = C.ModelConfig.from_args(argv)
+    try:
+        from neural_motifs_tpu.data.visual_genome import VG
+        train, val, _ = VG.splits(num_val_im=cfg.val_size,
+                                  filter_empty_rels=False,
+                                  filter_non_overlap=False)
+    except FileNotFoundError as e:
+        print(f"[train_detector] {e}\nFalling back to SyntheticVG.")
+        from neural_motifs_tpu.data.synthetic import SyntheticVG
+        train, val, _ = SyntheticVG.splits(num_images=64)
+
+    mesh = make_mesh()
+    global_batch = cfg.batch_size * cfg.num_devices
+    train_loader, val_loader = Loader.splits(train, val, batch_size=global_batch,
+                                             budgets=cfg.budgets)
+    model = ObjectDetector(num_classes=train.num_classes, mode="rpntrain",
+                           dtype=jnp.dtype(cfg.compute_dtype),
+                           budgets=cfg.budgets)
+    lr = cfg.lr * cfg.num_devices * cfg.batch_size
+    tx = make_optimizer(lr, l2=cfg.l2, clip=cfg.clip, adam=cfg.adam)
+    example = next(iter(train_loader))
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               batch_kwargs(example), tx)
+    if cfg.ckpt:
+        loaded = (ckpt_lib.import_reference_detector(cfg.ckpt)
+                  if cfg.ckpt.endswith((".tar", ".pth", ".pt"))
+                  else ckpt_lib.load_checkpoint(cfg.ckpt)["params"])
+        state = state.replace(params=ckpt_lib.optimistic_restore(state.params,
+                                                                 loaded))
+
+    train_step = make_train_step(detector_losses, batch_kwargs)
+    sched = PlateauScheduler()
+    rng = jax.random.PRNGKey(7)
+    for epoch in range(cfg.num_epochs):
+        t0 = time.time()
+        for bi, batch in enumerate(train_loader):
+            batch = shard_batch(batch, mesh)
+            state, losses = train_step(state, batch, rng)
+            if bi % cfg.print_interval == 0:
+                dt = (time.time() - t0) / (bi + 1)
+                print(f"e{epoch}b{bi} {dt:.3f}s/b "
+                      f"{ {k: float(v) for k, v in losses.items()} }", flush=True)
+        if cfg.save_dir:
+            ckpt_lib.save_checkpoint(f"{cfg.save_dir}/vg-{epoch}.mp", state)
+        m = detection_map(model, state, val_loader, val)
+        print(f"epoch {epoch}: mAP {m:.4f}")
+        sched.step(m)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""Relation-model training entry point (equivalent of reference
+models/train_rels.py). Run:
+
+    python -m neural_motifs_tpu.training.train_rels -m sgcls -model motifnet \
+        -order leftright -nl_obj 2 -nl_edge 4 -hidden_dim 512 -use_bias ...
+
+Losses: object-class CE + rel CE over sampled pairs; detector frozen (its
+params get zero gradient via stop_gradient on the fmap plus an optimizer
+mask); VGG-fc towers at lr/10; R@100-plateau lr schedule with early exit.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from neural_motifs_tpu import config as C
+from neural_motifs_tpu.data.batching import Loader
+from neural_motifs_tpu.evaluation.sg_eval import BasicSceneGraphEvaluator
+from neural_motifs_tpu.models.frequency import freq_bias_table
+from neural_motifs_tpu.models.rel_model import RelModel, prediction_to_entries
+from neural_motifs_tpu.models.rel_model_stanford import RelModelStanford
+from neural_motifs_tpu.models.word_vectors import obj_edge_vectors
+from neural_motifs_tpu.parallel.mesh import make_mesh, shard_batch
+from neural_motifs_tpu.training import checkpoint as ckpt_lib
+from neural_motifs_tpu.training.losses import rel_losses
+from neural_motifs_tpu.training.train_state import (PlateauScheduler, TrainState,
+                                                    create_train_state,
+                                                    make_optimizer, make_train_step)
+
+
+def batch_kwargs(batch) -> dict:
+    return dict(images=batch.images, im_hw=batch.im_hw, gt_boxes=batch.gt_boxes,
+                gt_classes=batch.gt_classes, gt_mask=batch.gt_mask,
+                gt_rels=batch.gt_rels, gt_rel_mask=batch.gt_rel_mask)
+
+
+def build_model(cfg: C.ModelConfig, train_data, dtype=None):
+    classes = train_data.ind_to_classes
+    embed = obj_edge_vectors(classes, wv_dim=cfg.embed_dim)
+    dec_embed = obj_edge_vectors(["start"] + list(classes), wv_dim=100)
+    freq = freq_bias_table(train_data) if cfg.use_bias else None
+    cls = RelModel if cfg.model == "motifnet" else RelModelStanford
+    kw = dict(num_classes=train_data.num_classes,
+              num_rels=train_data.num_predicates, mode=cfg.mode,
+              use_proposals=cfg.use_proposals, budgets=cfg.budgets,
+              dtype=dtype or jnp.dtype(cfg.compute_dtype))
+    if cls is RelModel:
+        kw.update(embed_vecs=embed, decoder_embed_vecs=dec_embed,
+                  freq_table=freq, embed_dim=cfg.embed_dim,
+                  hidden_dim=cfg.hidden_dim, pooling_dim=cfg.pooling_dim,
+                  nl_obj=cfg.nl_obj, nl_edge=cfg.nl_edge, order=cfg.order,
+                  rec_dropout=cfg.rec_dropout, use_bias=cfg.use_bias,
+                  use_tanh=cfg.use_tanh, limit_vision=cfg.limit_vision,
+                  pass_in_obj_feats_to_decoder=cfg.pass_in_obj_feats_to_decoder,
+                  pass_in_obj_feats_to_edge=cfg.pass_in_obj_feats_to_edge)
+    return cls(**kw)
+
+
+def val_epoch(model, state, val_loader, val_data, cfg, eval_fn):
+    evaluator = BasicSceneGraphEvaluator.all_modes()
+    for bi, batch in enumerate(val_loader):
+        pred = eval_fn(state.params, state.batch_stats, batch_kwargs(batch))
+        entries = prediction_to_entries(jax.device_get(pred))
+        for i, entry in enumerate(entries):
+            idx = int(batch.image_ids[i])
+            gt = {"gt_classes": val_data.gt_classes[idx].copy(),
+                  "gt_relations": val_data.relationships[idx].copy(),
+                  "gt_boxes": val_data.gt_boxes[idx].copy()}
+            evaluator[cfg.mode].evaluate_scene_graph_entry(gt, entry)
+    evaluator[cfg.mode].print_stats()
+    return evaluator[cfg.mode].mean_recall(100)
+
+
+def main(argv=None):
+    cfg = C.ModelConfig.from_args(argv)
+    try:
+        from neural_motifs_tpu.data.visual_genome import VG
+        train, val, _ = VG.splits(num_val_im=cfg.val_size,
+                                  filter_duplicate_rels=True,
+                                  use_proposals=cfg.use_proposals,
+                                  filter_non_overlap=cfg.mode == "sgdet")
+    except FileNotFoundError as e:
+        print(f"[train_rels] {e}\nFalling back to SyntheticVG (smoke mode).")
+        from neural_motifs_tpu.data.synthetic import SyntheticVG
+        train, val, _ = SyntheticVG.splits(num_images=64)
+
+    mesh = make_mesh()
+    global_batch = cfg.batch_size * cfg.num_devices
+    train_loader, val_loader = Loader.splits(train, val, batch_size=global_batch,
+                                             budgets=cfg.budgets)
+    model = build_model(cfg, train)
+
+    lr = cfg.lr * cfg.num_devices * cfg.batch_size
+    tx = make_optimizer(lr, l2=cfg.l2, clip=cfg.clip, adam=cfg.adam,
+                        fc_lr_factor=0.1)
+    rng = jax.random.PRNGKey(0)
+    example = next(iter(train_loader))
+    state = create_train_state(model, rng, batch_kwargs(example), tx)
+
+    if cfg.ckpt:
+        if cfg.ckpt.endswith((".tar", ".pth", ".pt")):
+            loaded = ckpt_lib.import_reference_rel_model(
+                cfg.ckpt, hidden_dim=cfg.hidden_dim, obj_dim=4096,
+                embed_dim=cfg.embed_dim, nl_obj=cfg.nl_obj, nl_edge=cfg.nl_edge,
+                pooling_dim=cfg.pooling_dim,
+                pass_in_obj_feats_to_decoder=cfg.pass_in_obj_feats_to_decoder,
+                pass_in_obj_feats_to_edge=cfg.pass_in_obj_feats_to_edge)
+            state = state.replace(params=ckpt_lib.optimistic_restore(
+                state.params, loaded))
+        else:
+            payload = ckpt_lib.load_checkpoint(cfg.ckpt)
+            state = state.replace(params=ckpt_lib.optimistic_restore(
+                state.params, payload["params"]))
+
+    train_step = make_train_step(rel_losses, batch_kwargs)
+    eval_fn = jax.jit(lambda params, bs, kw: model.apply(
+        {"params": params, "batch_stats": bs}, train=False,
+        rngs={"sample": jax.random.PRNGKey(0)}, **kw))
+
+    sched = PlateauScheduler()
+    base_scale = 1.0
+    step_rng = jax.random.PRNGKey(42)
+    for epoch in range(cfg.num_epochs):
+        t0 = time.time()
+        agg = []
+        for bi, batch in enumerate(train_loader):
+            batch = shard_batch(batch, mesh)
+            state, losses = train_step(state, batch, step_rng)
+            agg.append({k: float(v) for k, v in losses.items()})
+            if bi % cfg.print_interval == 0 and bi >= cfg.print_interval:
+                window = agg[-cfg.print_interval:]
+                mean = {k: np.mean([a[k] for a in window]) for k in window[0]}
+                dt = (time.time() - t0) / (bi + 1)
+                print(f"e{epoch}b{bi}/{len(train_loader)} {dt:.3f}s/batch "
+                      f"{dt * len(train_loader) / 60:.1f}m/epoch  {mean}",
+                      flush=True)
+        if cfg.save_dir:
+            ckpt_lib.save_checkpoint(f"{cfg.save_dir}/vgrel-{epoch}.mp", state)
+        r100 = val_epoch(model, state, val_loader, val, cfg, eval_fn)
+        scale = sched.step(r100)
+        if scale != base_scale:
+            base_scale = scale
+            tx = make_optimizer(lr * scale, l2=cfg.l2, clip=cfg.clip,
+                                adam=cfg.adam, fc_lr_factor=0.1)
+            state = TrainState(step=state.step, params=state.params,
+                               batch_stats=state.batch_stats,
+                               opt_state=tx.init(state.params), tx=tx,
+                               apply_fn=state.apply_fn)
+            train_step = make_train_step(rel_losses, batch_kwargs)
+        if lr * scale <= lr / 99.0:
+            print("exiting training early", flush=True)
+            break
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Train state + optimizer + pjit-compiled steps.
+
+Reference training harness semantics (models/train_rels.py,
+models/train_detector.py): SGD momentum 0.9, weight decay, global grad-norm
+clip 5, VGG-fc params at lr/10 for rel training, ReduceLROnPlateau on the
+val metric. On TPU the whole update is one jitted function over the data
+mesh; gradients are averaged by XLA (the loss is a mean over the global
+batch, so no explicit psum appears in user code).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from neural_motifs_tpu.parallel.mesh import batch_sharding, replicated
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, opt_state = self.tx.update(grads, self.opt_state, self.params)
+        params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=params,
+                            opt_state=opt_state)
+
+
+def _is_fc_path(path) -> bool:
+    """roi_fmap* towers get lr/10 (train_rels.py:57-62)."""
+    keys = [getattr(p, "key", "") for p in path]
+    return any(str(k).startswith("roi_fmap") for k in keys)
+
+
+def make_optimizer(lr: float, l2: float = 1e-4, clip: float = 5.0,
+                   momentum: float = 0.9, adam: bool = False,
+                   fc_lr_factor: Optional[float] = None):
+    """SGD(momentum)/Adam + weight decay + global-norm clip; optional
+    reduced-lr group for the VGG fc towers."""
+    def base(scale):
+        core = (optax.adam(lr * scale, eps=1e-3) if adam
+                else optax.sgd(lr * scale, momentum=momentum))
+        return optax.chain(optax.add_decayed_weights(l2), core)
+
+    if fc_lr_factor is None:
+        tx = base(1.0)
+    else:
+        def label_fn(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda p, _: "fc" if _is_fc_path(p) else "rest", params)
+        tx = optax.multi_transform(
+            {"fc": base(fc_lr_factor), "rest": base(1.0)}, label_fn)
+    return optax.chain(optax.clip_by_global_norm(clip), tx)
+
+
+def create_train_state(model, rng, example_batch_args: dict, tx) -> TrainState:
+    variables = model.init({"params": rng, "sample": rng, "dropout": rng},
+                           train=True, **example_batch_args)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats,
+                      opt_state=tx.init(params), tx=tx, apply_fn=model.apply)
+
+
+def make_train_step(loss_from_output: Callable, model_kwargs_from_batch: Callable,
+                    donate: bool = True):
+    """Builds a jitted train step: state, batch, rng -> (state, metrics)."""
+
+    def step(state: TrainState, batch, rng):
+        kwargs = model_kwargs_from_batch(batch)
+        r1, r2, r3 = jax.random.split(jax.random.fold_in(rng, state.step), 3)
+
+        def loss_fn(params):
+            out, mutated = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                train=True, rngs={"sample": r1, "dropout": r2},
+                mutable=["batch_stats"], **kwargs)
+            losses = loss_from_output(out)
+            return losses["total"], (losses, mutated)
+
+        (loss, (losses, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads).replace(
+            batch_stats=mutated.get("batch_stats", state.batch_stats))
+        losses["grad_norm"] = optax.global_norm(grads)
+        return new_state, losses
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+class PlateauScheduler:
+    """ReduceLROnPlateau('max') equivalent (train_rels.py:68-69): tracks the
+    val metric, multiplies a host-side lr scale by `factor` after `patience`
+    non-improving epochs (with cooldown). The scale is passed into the
+    optimizer via optax.scale_by_learning_rate injection — here we simply
+    rebuild the tx when it fires, which is cheap."""
+
+    def __init__(self, patience: int = 3, factor: float = 0.1,
+                 threshold: float = 1e-4, cooldown: int = 1):
+        self.patience = patience
+        self.factor = factor
+        self.threshold = threshold
+        self.cooldown = cooldown
+        self.best = -float("inf")
+        self.num_bad = 0
+        self.cool = 0
+        self.scale = 1.0
+
+    def step(self, metric: float) -> float:
+        if metric > self.best + self.threshold:
+            self.best = metric
+            self.num_bad = 0
+        elif self.cool > 0:
+            self.cool -= 1
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.scale *= self.factor
+                self.num_bad = 0
+                self.cool = self.cooldown
+        return self.scale

@@ -1,0 +1,154 @@
+"""End-to-end smoke tests for the detector and relation models on tiny
+shapes (64x64 images, small budgets) — exercises the full padded pipeline:
+RPN -> NMS -> sampling -> context LSTMs -> decoder -> union features ->
+rel head -> triplet decode."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neural_motifs_tpu import config as C
+from neural_motifs_tpu.models.rel_model import RelModel, SGPrediction, RelOutput
+from neural_motifs_tpu.models.rel_model_stanford import RelModelStanford
+from neural_motifs_tpu.training.losses import rel_losses
+
+TINY = C.PadBudgets(max_gt_boxes=8, max_gt_rels=8, rois_per_img=16,
+                    objs_per_img=8, rels_per_img=16, rels_per_img_refine=8,
+                    max_pairs_eval=56, rpn_pre_nms_topn_train=64,
+                    rpn_post_nms_topn_train=32, rpn_pre_nms_topn_test=64,
+                    rpn_post_nms_topn_test=16)
+
+NC, NP = 16, 8
+B, IM = 2, 64
+
+
+def tiny_batch(rng, with_rels=True):
+    g, r = TINY.max_gt_boxes, TINY.max_gt_rels
+    images = rng.randn(B, IM, IM, 3).astype(np.float32) * 0.1
+    im_hw = np.full((B, 2), float(IM), np.float32)
+    gt_boxes = np.zeros((B, g, 4), np.float32)
+    gt_classes = np.zeros((B, g), np.int32)
+    gt_mask = np.zeros((B, g), bool)
+    gt_rels = np.zeros((B, r, 3), np.int32)
+    gt_rel_mask = np.zeros((B, r), bool)
+    for b in range(B):
+        n = 5
+        xy = rng.uniform(0, IM * 0.5, (n, 2))
+        wh = rng.uniform(8, IM * 0.45, (n, 2))
+        gt_boxes[b, :n] = np.concatenate([xy, np.minimum(xy + wh, IM - 1)], 1)
+        gt_classes[b, :n] = rng.randint(1, NC, n)
+        gt_mask[b, :n] = True
+        nr = 3
+        sub = rng.randint(0, n, nr)
+        obj = (sub + rng.randint(1, n, nr)) % n
+        gt_rels[b, :nr] = np.stack([sub, obj, rng.randint(1, NP, nr)], 1)
+        gt_rel_mask[b, :nr] = True
+    return dict(images=jnp.asarray(images), im_hw=jnp.asarray(im_hw),
+                gt_boxes=jnp.asarray(gt_boxes), gt_classes=jnp.asarray(gt_classes),
+                gt_mask=jnp.asarray(gt_mask), gt_rels=jnp.asarray(gt_rels),
+                gt_rel_mask=jnp.asarray(gt_rel_mask))
+
+
+def make_model(mode, model_cls=RelModel, **kw):
+    defaults = dict(num_classes=NC, num_rels=NP, mode=mode, budgets=TINY,
+                    dtype=jnp.float32, thresh=0.0)
+    if model_cls is RelModel:
+        defaults.update(hidden_dim=16, pooling_dim=64, obj_dim=64,
+                        embed_dim=8, nl_obj=1, nl_edge=1, use_bias=True,
+                        use_tanh=True, limit_vision=False,
+                        embed_vecs=np.random.RandomState(0).randn(NC, 8).astype(np.float32),
+                        decoder_embed_vecs=np.random.RandomState(1).randn(NC + 1, 100).astype(np.float32),
+                        freq_table=np.random.RandomState(2).randn(NC * NC, NP).astype(np.float32))
+    else:
+        defaults.update(obj_dim=64)
+    defaults.update(kw)
+    return model_cls(**defaults)
+
+
+RNGS = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2)}
+
+
+@pytest.mark.parametrize("mode", ["predcls", "sgcls"])
+def test_rel_model_gtbox_train(rng, mode):
+    model = make_model(mode)
+    batch = tiny_batch(rng)
+    variables = model.init(RNGS, train=True, **batch)
+    out, _ = model.apply(variables, train=True, rngs=RNGS,
+                         mutable=["batch_stats"], **batch)
+    assert isinstance(out, RelOutput)
+    assert out.rel_dists.shape == (B, TINY.rels_per_img, NP)
+    assert out.obj_dists.shape == (B, TINY.max_gt_boxes, NC)
+    losses = rel_losses(out)
+    assert np.isfinite(float(losses["total"]))
+    # fg rel labels survived into the sample
+    labels = np.asarray(out.rel_labels)
+    valid = np.asarray(out.rel_valid)
+    assert valid.any()
+    assert (labels[valid] > 0).any()
+
+
+def test_rel_model_predcls_eval(rng):
+    model = make_model("predcls")
+    batch = tiny_batch(rng)
+    variables = model.init(RNGS, train=True, **batch)
+    pred = model.apply(variables, train=False, rngs=RNGS, **batch)
+    assert isinstance(pred, SGPrediction)
+    o = TINY.max_gt_boxes
+    assert pred.boxes.shape == (B, o, 4)
+    rv = np.asarray(pred.rel_valid)
+    ri = np.asarray(pred.rel_inds)
+    ov = np.asarray(pred.obj_valid)
+    assert rv.any()
+    # valid rels connect valid objects, no self-loops
+    for b in range(B):
+        assert np.all(ov[b][ri[b][rv[b], 0]])
+        assert np.all(ov[b][ri[b][rv[b], 1]])
+        assert np.all(ri[b][rv[b], 0] != ri[b][rv[b], 1])
+    # predcls commits GT classes
+    np.testing.assert_array_equal(
+        np.asarray(pred.obj_classes)[ov], np.asarray(batch["gt_classes"])[ov])
+    # triplet scores are sorted descending among valid
+    probs = np.asarray(pred.rel_scores)
+    scores = probs[..., 1:].max(-1)
+    oscore = np.asarray(pred.obj_scores)
+    for b in range(B):
+        t = scores[b] * oscore[b][ri[b, :, 0]] * oscore[b][ri[b, :, 1]]
+        t = t[rv[b]]
+        assert np.all(np.diff(t) <= 1e-5)
+
+
+def test_rel_model_sgdet_eval(rng):
+    model = make_model("sgdet")
+    batch = tiny_batch(rng)
+    variables = model.init(RNGS, train=True, **batch)
+    pred = model.apply(variables, train=False, rngs=RNGS, **batch)
+    assert isinstance(pred, SGPrediction)
+    assert pred.boxes.shape == (B, TINY.objs_per_img, 4)
+    # boxes within image
+    bx = np.asarray(pred.boxes)[np.asarray(pred.obj_valid)]
+    assert bx.size == 0 or (bx.min() >= 0 and bx.max() <= IM - 1)
+
+
+def test_rel_model_sgdet_train(rng):
+    model = make_model("sgdet")
+    batch = tiny_batch(rng)
+    variables = model.init(RNGS, train=True, **batch)
+    out, _ = model.apply(variables, train=True, rngs=RNGS,
+                         mutable=["batch_stats"], **batch)
+    assert out.rel_dists.shape == (B, TINY.rels_per_img_refine, NP)
+    losses = rel_losses(out)
+    assert np.isfinite(float(losses["total"]))
+
+
+def test_stanford_train_and_eval(rng):
+    model = make_model("sgcls", model_cls=RelModelStanford)
+    batch = tiny_batch(rng)
+    variables = model.init(RNGS, train=True, **batch)
+    out, _ = model.apply(variables, train=True, rngs=RNGS,
+                         mutable=["batch_stats"], **batch)
+    losses = rel_losses(out)
+    assert np.isfinite(float(losses["total"]))
+    pred = model.apply(variables, train=False, rngs=RNGS, **batch)
+    assert isinstance(pred, SGPrediction)
