@@ -36,21 +36,19 @@ Array = jax.Array
 
 
 def block_orthogonal(key: jax.Array, shape: tuple[int, int],
-                     block: tuple[int, int], gain: float = 1.0) -> np.ndarray:
+                     block: tuple[int, int], gain: float = 1.0) -> jax.Array:
     """Init a [n, m] matrix in (block[0] x block[1]) orthogonal blocks
-    (semantics of alternating_highway_lstm.py:12-59)."""
+    (semantics of alternating_highway_lstm.py:12-59). Pure jnp so it can run
+    inside traced flax init functions."""
     n, m = shape
     bn, bm = block
     assert n % bn == 0 and m % bm == 0
-    out = np.zeros(shape, dtype=np.float32)
-    keys = jax.random.split(key, (n // bn) * (m // bm))
-    k = 0
-    for i in range(0, n, bn):
-        for j in range(0, m, bm):
-            q = jax.random.orthogonal(keys[k], max(bn, bm))
-            out[i:i + bn, j:j + bm] = gain * np.asarray(q)[:bn, :bm]
-            k += 1
-    return out
+    nb, mb = n // bn, m // bm
+    keys = jax.random.split(key, nb * mb)
+    qs = jax.vmap(lambda k: jax.random.orthogonal(k, max(bn, bm)))(keys)
+    qs = qs[:, :bn, :bm].reshape(nb, mb, bn, bm)
+    out = jnp.transpose(qs, (0, 2, 1, 3)).reshape(n, m)
+    return (gain * out).astype(jnp.float32)
 
 
 def init_highway_lstm_params(key: jax.Array, input_size: int, hidden_size: int,
@@ -64,10 +62,8 @@ def init_highway_lstm_params(key: jax.Array, input_size: int, hidden_size: int,
         key, k1, k2 = jax.random.split(key, 3)
         w_i = block_orthogonal(k1, (d_in, 6 * h), (d_in, h))
         w_h = block_orthogonal(k2, (h, 5 * h), (h, h))
-        bias = np.zeros((5 * h,), np.float32)
-        bias[h:2 * h] = 1.0
-        params.append({"w_i": jnp.asarray(w_i), "w_h": jnp.asarray(w_h),
-                       "bias": jnp.asarray(bias)})
+        bias = jnp.zeros((5 * h,), jnp.float32).at[h:2 * h].set(1.0)
+        params.append({"w_i": w_i, "w_h": w_h, "bias": bias})
     return params
 
 
