@@ -92,6 +92,12 @@ def main():
     out = forward(params, batch_stats, dimages, dhw)
     jax.block_until_ready(out)
 
+    profile_dir = __import__("os").environ.get("NM_BENCH_PROFILE")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            out = forward(params, batch_stats, dimages, dhw)
+            jax.block_until_ready(out)
+
     t0 = time.time()
     for _ in range(iters):
         out = forward(params, batch_stats, dimages, dhw)

@@ -38,7 +38,7 @@ class AlternatingHighwayLSTM(nn.Module):
     (block-orthogonal weights, forget bias 1; alternating_highway_lstm.py:
     233-257)."""
 
-    input_size: int
+    input_size: int     # informational; layer-0 width is taken from x
     hidden_size: int
     num_layers: int
     dropout: float = 0.0
@@ -48,7 +48,7 @@ class AlternatingHighwayLSTM(nn.Module):
         params = []
         h = self.hidden_size
         for layer in range(self.num_layers):
-            d_in = self.input_size if layer == 0 else h
+            d_in = x.shape[-1] if layer == 0 else h
 
             def bias_init(key, shape, dtype=jnp.float32):
                 b = jnp.zeros(shape, dtype)
@@ -96,7 +96,11 @@ class DecoderRNN(nn.Module):
         embed_dim = int(np.asarray(self.embed_vecs).shape[1])
         embed = self.param("obj_embed", lambda k, s: jnp.asarray(self.embed_vecs),
                            (self.num_classes + 1, embed_dim))
-        input_size = self.inputs_dim + embed_dim
+        # width comes from the actual input (the reference's declared
+        # decoder_inputs_dim, rel_model.py:117-119, under-counts the 128-d
+        # position embedding when pass_in_obj_feats_to_decoder is set — a
+        # latent upstream bug; canonical configs use False)
+        input_size = x.shape[-1] + embed_dim
 
         w_i = self.param("input_w", _ortho_init((input_size, h)),
                          (input_size, 6 * h))

@@ -201,7 +201,10 @@ class ObjectDetector(nn.Module):
             od_targets = None
             if train and gt_rels is not None:
                 rng = self.make_rng("sample")
-                rel_sample = jax.vmap(rel_assign_gtbox)(
+                rel_sample = jax.vmap(
+                    lambda k, gm, gr, grm: rel_assign_gtbox(
+                        k, gm, gr, grm,
+                        rels_per_img=self.budgets.rels_per_img))(
                     jax.random.split(rng, b), gt_mask, gt_rels, gt_rel_mask)
         else:
             if self.mode == "proposals":

@@ -113,7 +113,11 @@ class RelModelStanford(nn.Module):
         if train:
             if self.mode == "sgdet":
                 rng = self.make_rng("sample")
-                return jax.vmap(rel_assign_sgdet)(
+                return jax.vmap(
+                    lambda k, pb, pl, pv, gb, gc, gm, gr, grm:
+                    rel_assign_sgdet(
+                        k, pb, pl, pv, gb, gc, gm, gr, grm,
+                        rels_per_img=self.budgets.rels_per_img_refine))(
                     jax.random.split(rng, b), det.rm_boxes, det.rm_obj_labels,
                     det.rm_valid, gt["boxes"], gt["classes"], gt["mask"],
                     gt["rels"], gt["rel_mask"])
