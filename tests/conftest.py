@@ -12,6 +12,13 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+# The axon TPU plugin ignores the JAX_PLATFORMS env var on this image; the
+# config knob is authoritative. Tests must run on the 8-device virtual CPU.
+jax.config.update("jax_platforms", "cpu")
+# Persistent compile cache: XLA compiles dominate test time on this 1-core
+# machine; cache across pytest invocations.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
