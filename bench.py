@@ -62,13 +62,12 @@ def main():
     rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1),
             "dropout": jax.random.PRNGKey(2)}
     t0 = time.time()
-    variables = model.init(rngs, images=jnp.asarray(images),
-                           im_hw=jnp.asarray(im_hw),
-                           gt_boxes=jnp.asarray(gt_boxes),
-                           gt_classes=jnp.asarray(gt_classes),
-                           gt_mask=jnp.asarray(gt_mask),
-                           gt_rels=jnp.asarray(gt_rels),
-                           gt_rel_mask=jnp.asarray(gt_rel_mask), train=True)
+    init_kw = dict(images=jnp.asarray(images), im_hw=jnp.asarray(im_hw),
+                   gt_boxes=jnp.asarray(gt_boxes),
+                   gt_classes=jnp.asarray(gt_classes),
+                   gt_mask=jnp.asarray(gt_mask), gt_rels=jnp.asarray(gt_rels),
+                   gt_rel_mask=jnp.asarray(gt_rel_mask))
+    variables = jax.jit(lambda r: model.init(r, train=True, **init_kw))(rngs)
     print(f"# init {time.time() - t0:.1f}s", flush=True)
 
     params = variables["params"]
@@ -80,30 +79,38 @@ def main():
                            images=images, im_hw=im_hw, train=False,
                            rngs={"sample": jax.random.PRNGKey(0)})
 
-    dimages = jax.device_put(jnp.asarray(images))
+    # several distinct input buffers, resident on device, cycled so no
+    # caching/do-nothing shortcut is possible; every iteration blocks.
+    dbufs = [jax.device_put(jnp.asarray(images + 0.01 * k))
+             for k in range(min(4, iters))]
     dhw = jax.device_put(jnp.asarray(im_hw))
 
     t0 = time.time()
-    out = forward(params, batch_stats, dimages, dhw)
-    jax.block_until_ready(out)
-    print(f"# compile+first {time.time() - t0:.1f}s", flush=True)
+    out = forward(params, batch_stats, dbufs[0], dhw)
+    # IMPORTANT: under the axon remote platform block_until_ready is a no-op
+    # until the first host fetch; pull a scalar to force real execution.
+    _ = float(jnp.sum(out.obj_scores))
+    print(f"# compile+first+fetch {time.time() - t0:.1f}s", flush=True)
 
-    # warmup
-    out = forward(params, batch_stats, dimages, dhw)
-    jax.block_until_ready(out)
+    # warmup (fetch again so readiness tracking is live)
+    out = forward(params, batch_stats, dbufs[-1], dhw)
+    _ = float(jnp.sum(out.obj_scores))
 
     profile_dir = __import__("os").environ.get("NM_BENCH_PROFILE")
     if profile_dir:
         with jax.profiler.trace(profile_dir):
-            out = forward(params, batch_stats, dimages, dhw)
-            jax.block_until_ready(out)
+            jax.block_until_ready(forward(params, batch_stats, dbufs[0], dhw))
 
-    t0 = time.time()
-    for _ in range(iters):
-        out = forward(params, batch_stats, dimages, dhw)
-    jax.block_until_ready(out)
-    dt = time.time() - t0
-    img_s = batch * iters / dt
+    per_iter = []
+    for i in range(iters):
+        t0 = time.time()
+        out = forward(params, batch_stats, dbufs[i % len(dbufs)], dhw)
+        _ = float(jnp.sum(out.obj_scores))   # scalar fetch = hard barrier
+        per_iter.append(time.time() - t0)
+    # median per-iteration time is robust to tunnel hiccups
+    med = sorted(per_iter)[len(per_iter) // 2]
+    print(f"# per-iter times: {[round(t, 4) for t in per_iter]}", flush=True)
+    img_s = batch / med
 
     print(json.dumps({
         "metric": "sgdet_inference_imgs_per_sec_per_chip",

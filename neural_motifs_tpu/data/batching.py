@@ -110,19 +110,20 @@ class Loader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool,
                  budgets: C.PadBudgets | None = None, drop_last: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.budgets = budgets or C.PadBudgets()
         self.drop_last = drop_last
         self.rng = np.random.RandomState(seed)
+        self.prefetch = prefetch
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def __iter__(self):
+    def _batches(self):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(idx)
@@ -130,6 +131,34 @@ class Loader:
                        self.batch_size):
             chunk = idx[s:s + self.batch_size]
             yield collate([self.dataset[int(i)] for i in chunk], self.budgets)
+
+    def __iter__(self):
+        """Background-thread prefetch: image decode + collate overlap the
+        device step (the role of the reference's dataloader worker
+        processes, dataloaders/blob.py rationale)."""
+        if self.prefetch <= 0:
+            yield from self._batches()
+            return
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for b in self._batches():
+                    q.put(b)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
 
     @classmethod
     def splits(cls, train_data, val_data, batch_size: int,

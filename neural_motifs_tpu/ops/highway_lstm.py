@@ -45,8 +45,17 @@ def block_orthogonal(key: jax.Array, shape: tuple[int, int],
     assert n % bn == 0 and m % bm == 0
     nb, mb = n // bn, m // bm
     keys = jax.random.split(key, nb * mb)
-    qs = jax.vmap(lambda k: jax.random.orthogonal(k, max(bn, bm)))(keys)
-    qs = qs[:, :bn, :bm].reshape(nb, mb, bn, bm)
+
+    def semi_orthogonal(k):
+        # economic QR of a Gaussian (sign-corrected): [bn, bm] with
+        # orthonormal columns/rows — avoids the max(bn,bm)^2 full square
+        big, small = max(bn, bm), min(bn, bm)
+        a = jax.random.normal(k, (big, small))
+        q, r = jnp.linalg.qr(a)
+        q = q * jnp.sign(jnp.diagonal(r))[None, :]
+        return q if bn >= bm else q.T
+
+    qs = jax.vmap(semi_orthogonal)(keys).reshape(nb, mb, bn, bm)
     out = jnp.transpose(qs, (0, 2, 1, 3)).reshape(n, m)
     return (gain * out).astype(jnp.float32)
 

@@ -46,15 +46,8 @@ def interp_matrix(lo: Array, hi: Array, out_size: int, grid_size: int) -> Array:
     return w * in_range[..., None]
 
 
-def roi_align(fmap: Array, rois: Array, valid: Array | None, out_size: int,
-              spatial_scale: float) -> Array:
-    """Crop-and-resize RoI pooling.
-
-    fmap: [B, H, W, C] (NHWC — TPU-native layout)
-    rois: [B, R, 4] boxes in image coordinates (x1, y1, x2, y2)
-    valid: [B, R] bool or None
-    Returns [B, R, out_size, out_size, C].
-    """
+def _roi_align_impl(fmap: Array, rois: Array, valid: Array | None,
+                    out_size: int, spatial_scale: float) -> Array:
     _, h, w, _ = fmap.shape
     s = jnp.asarray(spatial_scale, fmap.dtype)
     rois = rois.astype(fmap.dtype)
@@ -67,3 +60,39 @@ def roi_align(fmap: Array, rois: Array, valid: Array | None, out_size: int,
     # [B,R,P,W,C] x [B,R,Q,W] -> [B,R,P,Q,C]
     out = jnp.einsum("brpwc,brqw->brpqc", t, rx, preferred_element_type=fmap.dtype)
     return out
+
+
+def roi_align(fmap: Array, rois: Array, valid: Array | None, out_size: int,
+              spatial_scale: float, chunk: int = 512) -> Array:
+    """Crop-and-resize RoI pooling.
+
+    fmap: [B, H, W, C] (NHWC — TPU-native layout)
+    rois: [B, R, 4] boxes in image coordinates (x1, y1, x2, y2)
+    valid: [B, R] bool or None
+    Returns [B, R, out_size, out_size, C].
+
+    Large R (the all-pairs union features at eval, R ~ 4k) is processed in
+    `chunk`-sized groups via lax.map so the [B, R, P, W, C] interpolation
+    intermediate stays bounded (~chunk * P * W * C per image) instead of
+    materializing gigabytes.
+    """
+    b, r = rois.shape[:2]
+    if chunk and r > chunk:
+        pad = (-r) % chunk
+        if pad:
+            rois = jnp.concatenate(
+                [rois, jnp.zeros((b, pad, 4), rois.dtype)], axis=1)
+            v = (valid if valid is not None
+                 else jnp.ones((b, r), bool))
+            valid = jnp.concatenate([v, jnp.zeros((b, pad), bool)], axis=1)
+        n = rois.shape[1] // chunk
+        rr = jnp.swapaxes(rois.reshape(b, n, chunk, 4), 0, 1)
+        vv = jnp.swapaxes(valid.reshape(b, n, chunk), 0, 1)
+        out = jax.lax.map(
+            lambda args: _roi_align_impl(fmap, args[0], args[1], out_size,
+                                         spatial_scale),
+            (rr, vv))
+        out = jnp.swapaxes(out, 0, 1).reshape(
+            b, n * chunk, out_size, out_size, fmap.shape[-1])
+        return out[:, :r]
+    return _roi_align_impl(fmap, rois, valid, out_size, spatial_scale)
