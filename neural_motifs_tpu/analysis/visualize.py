@@ -24,7 +24,7 @@ def draw_scene_graph(image, entry: dict, ind_to_classes, ind_to_predicates,
     pred_rel_inds, rel_scores)."""
     from PIL import Image, ImageDraw
 
-    if not hasattr(image, "size"):
+    if not hasattr(image, "convert"):
         image = Image.fromarray(np.asarray(image, np.uint8))
     img = image.convert("RGB").copy()
     draw = ImageDraw.Draw(img)

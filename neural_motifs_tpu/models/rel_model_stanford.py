@@ -139,8 +139,11 @@ class RelModelStanford(nn.Module):
         det = self.detector(images, im_hw, gt_boxes, gt_classes, gt_mask,
                             gt_rels, gt_rel_mask, proposals, proposal_mask,
                             train=train)
-        boxes, valid = det.rm_boxes, det.rm_valid
+        boxes = jax.lax.stop_gradient(det.rm_boxes)
+        valid = det.rm_valid
         fmap = jax.lax.stop_gradient(det.fmap)
+        if det.boxes_all is not None:
+            det = det._replace(boxes_all=jax.lax.stop_gradient(det.boxes_all))
         pairs = self._rel_pairs(det, train,
                                 dict(boxes=gt_boxes, classes=gt_classes,
                                      mask=gt_mask, rels=gt_rels,

@@ -97,7 +97,7 @@ def main(argv=None):
 
     lr = cfg.lr * cfg.num_devices * cfg.batch_size
     tx = make_optimizer(lr, l2=cfg.l2, clip=cfg.clip, adam=cfg.adam,
-                        fc_lr_factor=0.1)
+                        fc_lr_factor=0.1, freeze_detector=True)
     rng = jax.random.PRNGKey(0)
     example = next(iter(train_loader))
     state = create_train_state(model, rng, batch_kwargs(example), tx)
@@ -117,6 +117,8 @@ def main(argv=None):
             state = state.replace(params=ckpt_lib.optimistic_restore(
                 state.params, payload["params"]))
 
+    from neural_motifs_tpu.utils.observe import print_para
+    print_para(state.params)
     train_step = make_train_step(rel_losses, batch_kwargs)
     eval_fn = jax.jit(lambda params, bs, kw: model.apply(
         {"params": params, "batch_stats": bs}, train=False,
@@ -146,7 +148,7 @@ def main(argv=None):
         if scale != base_scale:
             base_scale = scale
             tx = make_optimizer(lr * scale, l2=cfg.l2, clip=cfg.clip,
-                                adam=cfg.adam, fc_lr_factor=0.1)
+                                adam=cfg.adam, fc_lr_factor=0.1, freeze_detector=True)
             state = TrainState(step=state.step, params=state.params,
                                batch_stats=state.batch_stats,
                                opt_state=tx.init(state.params), tx=tx,

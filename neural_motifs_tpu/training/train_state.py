@@ -44,24 +44,37 @@ def _is_fc_path(path) -> bool:
     return any(str(k).startswith("roi_fmap") for k in keys)
 
 
+def _is_frozen_path(path) -> bool:
+    """Detector subtree is frozen during rel training (train_rels.py:51-52)."""
+    keys = [getattr(p, "key", "") for p in path]
+    return bool(keys) and str(keys[0]) == "detector"
+
+
 def make_optimizer(lr: float, l2: float = 1e-4, clip: float = 5.0,
                    momentum: float = 0.9, adam: bool = False,
-                   fc_lr_factor: Optional[float] = None):
+                   fc_lr_factor: Optional[float] = None,
+                   freeze_detector: bool = False):
     """SGD(momentum)/Adam + weight decay + global-norm clip; optional
-    reduced-lr group for the VGG fc towers."""
+    reduced-lr group for the VGG fc towers; optional hard-frozen detector
+    subtree (no update, no weight decay)."""
     def base(scale):
         core = (optax.adam(lr * scale, eps=1e-3) if adam
                 else optax.sgd(lr * scale, momentum=momentum))
         return optax.chain(optax.add_decayed_weights(l2), core)
 
-    if fc_lr_factor is None:
-        tx = base(1.0)
-    else:
-        def label_fn(params):
-            return jax.tree_util.tree_map_with_path(
-                lambda p, _: "fc" if _is_fc_path(p) else "rest", params)
-        tx = optax.multi_transform(
-            {"fc": base(fc_lr_factor), "rest": base(1.0)}, label_fn)
+    def label_fn(params):
+        def lbl(p, _):
+            if freeze_detector and _is_frozen_path(p):
+                return "frozen"
+            if fc_lr_factor is not None and _is_fc_path(p):
+                return "fc"
+            return "rest"
+        return jax.tree_util.tree_map_with_path(lbl, params)
+
+    groups = {"rest": base(1.0), "frozen": optax.set_to_zero()}
+    if fc_lr_factor is not None:
+        groups["fc"] = base(fc_lr_factor)
+    tx = optax.multi_transform(groups, label_fn)
     return optax.chain(optax.clip_by_global_norm(clip), tx)
 
 

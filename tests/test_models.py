@@ -152,3 +152,44 @@ def test_stanford_train_and_eval(rng):
     assert np.isfinite(float(losses["total"]))
     pred = model.apply(variables, train=False, rngs=RNGS, **batch)
     assert isinstance(pred, SGPrediction)
+
+
+def test_rel_model_baseline_no_context(rng):
+    """nl_obj=0, nl_edge=0: the 'baseline' ablation uses decoder_lin +
+    post_emb class-embedding edge reps (rel_model.py:386-388, 259-284)."""
+    model = make_model("sgcls", nl_obj=0, nl_edge=0)
+    batch = tiny_batch(rng)
+    variables = model.init(RNGS, train=True, **batch)
+    out, _ = model.apply(variables, train=True, rngs=RNGS,
+                         mutable=["batch_stats"], **batch)
+    losses = rel_losses(out)
+    assert np.isfinite(float(losses["total"]))
+    pred = model.apply(variables, train=False, rngs=RNGS, **batch)
+    assert isinstance(pred, SGPrediction)
+
+
+def test_detector_proposals_mode(rng):
+    """'proposals' box source: precomputed proposals -> NMS -> heads."""
+    from neural_motifs_tpu.models.detector import ObjectDetector
+    import jax.numpy as jnp
+
+    det = ObjectDetector(num_classes=NC, mode="proposals", budgets=TINY,
+                         dtype=jnp.float32, thresh=0.0, max_per_img=8)
+    batch = tiny_batch(rng)
+    P = 32
+    props = np.zeros((B, P, 5), np.float32)
+    pmask = np.zeros((B, P), bool)
+    for b in range(B):
+        props[b, :20, 0] = rng.uniform(0.1, 1, 20)
+        xy = rng.uniform(0, IM * 0.6, (20, 2))
+        wh = rng.uniform(6, IM * 0.4, (20, 2))
+        props[b, :20, 1:] = np.concatenate([xy, np.minimum(xy + wh, IM - 1)], 1)
+        pmask[b, :20] = True
+    variables = det.init(RNGS, images=batch["images"], im_hw=batch["im_hw"],
+                         proposals=jnp.asarray(props),
+                         proposal_mask=jnp.asarray(pmask), train=False)
+    out = det.apply(variables, images=batch["images"], im_hw=batch["im_hw"],
+                    proposals=jnp.asarray(props),
+                    proposal_mask=jnp.asarray(pmask), train=False)
+    assert out.rm_boxes.shape == (B, 8, 4)
+    assert out.boxes_all.shape == (B, 8, NC, 4)
