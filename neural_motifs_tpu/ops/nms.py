@@ -27,25 +27,11 @@ Array = jax.Array
 NEG_INF = -1e10
 
 
-def greedy_nms_mask(boxes: Array, scores: Array, valid: Array,
-                    iou_thresh: float, max_iters: int | None = None) -> Array:
-    """Returns the greedy-NMS keep mask in the *original* box order.
-
-    boxes: [N, 4]; scores: [N]; valid: [N] bool. Padded/invalid rows are
-    never kept and never suppress.
-    """
-    n = boxes.shape[0]
-    masked_scores = jnp.where(valid, scores, NEG_INF)
-    order = jnp.argsort(-masked_scores)
-    b = boxes[order]
-    v = valid[order]
-
-    iou = bbox_overlaps(b, b)
-    idx = jnp.arange(n)
-    sup = (iou > iou_thresh) & (idx[:, None] < idx[None, :])
-    sup = sup & v[:, None] & v[None, :]
-
-    max_iters = n if max_iters is None else max_iters
+def _fixpoint_alive(sup: Array, v: Array, max_iters: int) -> Array:
+    """Greedy-NMS fixpoint over a suppression matrix in score order:
+    alive_{k+1}[j] = v[j] & !any_i(alive_k[i] & sup[i, j]). Converges to the
+    exact greedy solution in O(suppression-chain-depth) sweeps (boxes at
+    chain depth <= k are fixed after k sweeps)."""
 
     def cond(state):
         _, changed, it = state
@@ -57,7 +43,63 @@ def greedy_nms_mask(boxes: Array, scores: Array, valid: Array,
         return new, jnp.any(new != alive), it + 1
 
     alive, _, _ = lax.while_loop(cond, body, (v, jnp.bool_(True), jnp.int32(0)))
+    return alive
 
+
+def greedy_nms_mask(boxes: Array, scores: Array, valid: Array,
+                    iou_thresh: float, tile: int = 128) -> Array:
+    """Exact greedy NMS keep mask in the *original* box order — tiled.
+
+    Boxes are processed in score order in `tile`-sized blocks: the block's
+    internal suppression is resolved with a tiny fixpoint on [tile, tile],
+    then the block's survivors suppress all later boxes in ONE [tile, N]
+    sweep. The full IoU matrix is therefore touched exactly once (streamed
+    tile-by-tile) instead of once per fixpoint sweep — the dominant NMS
+    cost in the profile.
+
+    boxes: [N, 4]; scores: [N]; valid: [N] bool. Padded/invalid rows are
+    never kept and never suppress.
+    """
+    n = boxes.shape[0]
+    masked_scores = jnp.where(valid, scores, NEG_INF)
+    order = jnp.argsort(-masked_scores)
+    b = boxes[order]
+    v = valid[order]
+
+    if n <= tile:
+        iou = bbox_overlaps(b, b)
+        idx = jnp.arange(n)
+        sup = (iou > iou_thresh) & (idx[:, None] < idx[None, :])
+        sup = sup & v[:, None] & v[None, :]
+        alive = _fixpoint_alive(sup, v, n)
+        return jnp.zeros_like(valid).at[order].set(alive)
+
+    pad = (-n) % tile
+    if pad:
+        b = jnp.concatenate([b, jnp.zeros((pad, 4), b.dtype)])
+        v = jnp.concatenate([v, jnp.zeros((pad,), bool)])
+    m = b.shape[0]
+    idx_all = jnp.arange(m)
+    tri = jnp.arange(tile)
+
+    def tile_step(i, alive):
+        s = i * tile
+        tb = lax.dynamic_slice(b, (s, 0), (tile, 4))
+        ta = lax.dynamic_slice(alive, (s,), (tile,))
+        # resolve within-tile greedy
+        iou_tt = bbox_overlaps(tb, tb)
+        sup_tt = (iou_tt > iou_thresh) & (tri[:, None] < tri[None, :])
+        sup_tt = sup_tt & ta[:, None] & ta[None, :]
+        ta = _fixpoint_alive(sup_tt, ta, tile)
+        alive = lax.dynamic_update_slice(alive, ta, (s,))
+        # survivors kill all later boxes in one sweep
+        iou_tn = bbox_overlaps(tb, b)                 # [tile, M]
+        kill = jnp.any(ta[:, None] & (iou_tn > iou_thresh), axis=0)
+        kill = kill & (idx_all >= s + tile)
+        return alive & ~kill
+
+    alive = lax.fori_loop(0, m // tile, tile_step, v)
+    alive = alive[:n]
     keep = jnp.zeros_like(valid).at[order].set(alive)
     return keep
 

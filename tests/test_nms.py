@@ -80,3 +80,15 @@ def test_per_class_nms(rng):
             np.testing.assert_array_equal(keep[:, ci], exp)
         else:
             assert not keep[:, ci].any()
+
+
+def test_tiled_path_parity(rng):
+    # N > tile exercises the tiled cross-block suppression
+    n = 300
+    boxes = rand_boxes(rng, n, scale=150)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    valid = rng.uniform(0, 1, n) > 0.1
+    got = np.asarray(greedy_nms_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                                     jnp.asarray(valid), 0.4, tile=128))
+    exp = np_greedy_nms(boxes, scores, valid, 0.4)
+    np.testing.assert_array_equal(got, exp)
