@@ -122,11 +122,16 @@ class DecoderRNN(nn.Module):
                                         1.0 - self.dropout, (b, h))
             dropout_mask = keep.astype(x.dtype) / (1.0 - self.dropout)
 
-        def cell(x_t, prev_h, prev_c):
+        dx = x.shape[-1]
+        w_i_x, w_i_e = w_i[:dx], w_i[dx:]
+        # hoist the input projection out of the scan ([B,T,Dx] @ [Dx,6H])
+        pre_all = x @ w_i_x + b_i
+
+        def cell(pre_t, prev_e, prev_h, prev_c):
             """decoder_rnn.py:96-131 — note the decoder's highway gate takes
             BOTH input and state projections (slot 4), and the highway input
             is the input-only slot 5."""
-            pi = x_t @ w_i + b_i
+            pi = pre_t + prev_e @ w_i_e
             ps = prev_h @ w_h + b_h
             in_g = jax.nn.sigmoid(pi[:, 0 * h:1 * h] + ps[:, 0 * h:1 * h])
             fg_g = jax.nn.sigmoid(pi[:, 1 * h:2 * h] + ps[:, 1 * h:2 * h])
@@ -150,9 +155,8 @@ class DecoderRNN(nn.Module):
 
         def step(carry, inp):
             prev_h, prev_c, prev_e = carry
-            x_t, m_t, label_t = inp
-            inp_t = jnp.concatenate([x_t, prev_e], axis=1)
-            new_h, new_c = cell(inp_t, prev_h, prev_c)
+            pre_t, m_t, label_t = inp
+            new_h, new_c = cell(pre_t, prev_e, prev_h, prev_c)
             logits = new_h @ out_w + out_b
             nonbg = jnp.argmax(logits[:, 1:], axis=1) + 1
             if train and labels is not None:
@@ -166,7 +170,7 @@ class DecoderRNN(nn.Module):
             prev_e = jnp.where(m, new_e, prev_e)
             return (prev_h, prev_c, prev_e), (logits, commit)
 
-        xs = (jnp.swapaxes(x, 0, 1), jnp.swapaxes(mask, 0, 1), lbl_seq)
+        xs = (jnp.swapaxes(pre_all, 0, 1), jnp.swapaxes(mask, 0, 1), lbl_seq)
         _, (logits, commits) = jax.lax.scan(step, (h0, c0, e0), xs)
         logits = jnp.swapaxes(logits, 0, 1)          # [B, T, NC]
         commits = jnp.swapaxes(commits, 0, 1).astype(jnp.int32)

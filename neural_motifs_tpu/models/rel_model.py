@@ -58,7 +58,7 @@ class UnionVGGHead(nn.Module):
         if self.pooling_dim != self.fc_dim:
             x = nn.Dense(self.pooling_dim, dtype=self.dtype,
                          param_dtype=jnp.float32, name="proj")(x)
-        return x.astype(jnp.float32)
+        return x
 
 
 class UnionBoxesAndFeats(nn.Module):
@@ -185,14 +185,14 @@ class RelModel(nn.Module):
 
         # init N(0, 10*sqrt(1/hidden)) (rel_model.py:377-384)
         self.post_lstm = nn.Dense(
-            self.pooling_dim * 2,
+            self.pooling_dim * 2, dtype=self.dtype,
             kernel_init=nn.initializers.normal(10.0 * float(np.sqrt(1.0 / self.hidden_dim))),
             bias_init=nn.initializers.zeros)
         if self.nl_edge == 0:
             self.post_emb = self.param(
                 "post_emb", nn.initializers.normal(1.0),
                 (self.num_classes, self.pooling_dim * 2))
-        self.rel_compress = nn.Dense(self.num_rels,
+        self.rel_compress = nn.Dense(self.num_rels, dtype=self.dtype,
                                      kernel_init=nn.initializers.xavier_normal())
         if self.use_bias:
             ft = (self.freq_table if self.freq_table is not None
@@ -287,7 +287,7 @@ class RelModel(nn.Module):
         if self.use_tanh:
             prod_rep = jnp.tanh(prod_rep)
 
-        rel_dists = self.rel_compress(prod_rep)
+        rel_dists = self.rel_compress(prod_rep).astype(jnp.float32)
         if self.use_bias:
             sub_cls = jnp.take_along_axis(ctx.obj_preds, pairs.sub, axis=1)
             obj_cls = jnp.take_along_axis(ctx.obj_preds, pairs.obj, axis=1)

@@ -76,11 +76,12 @@ def init_highway_lstm_params(key: jax.Array, input_size: int, hidden_size: int,
     return params
 
 
-def highway_lstm_cell(x_t: Array, h: Array, c: Array, w_i: Array, w_h: Array,
-                      bias: Array, dropout_mask: Array | None):
-    """One fused cell step. x_t: [B, D_in], h/c: [B, H]."""
+def highway_lstm_gates(gi: Array, h: Array, c: Array, w_h: Array,
+                       bias: Array, dropout_mask: Array | None):
+    """Fused cell step from a PRE-PROJECTED input. gi = x_t @ w_i [B, 6H]
+    (the input GEMM is hoisted out of the scan — one [B, T, D] @ [D, 6H]
+    matmul per layer instead of T small ones), h/c: [B, H]."""
     hsz = h.shape[-1]
-    gi = x_t @ w_i                                   # [B, 6H]
     gh = h @ w_h                                     # [B, 5H]
     g = gi[:, :5 * hsz] + gh + bias
     in_g = jax.nn.sigmoid(g[:, 0 * hsz:1 * hsz])
@@ -96,6 +97,12 @@ def highway_lstm_cell(x_t: Array, h: Array, c: Array, w_i: Array, w_h: Array,
     return h_new, c_new
 
 
+def highway_lstm_cell(x_t: Array, h: Array, c: Array, w_i: Array, w_h: Array,
+                      bias: Array, dropout_mask: Array | None):
+    """One fused cell step. x_t: [B, D_in], h/c: [B, H]."""
+    return highway_lstm_gates(x_t @ w_i, h, c, w_h, bias, dropout_mask)
+
+
 def _run_layer(x: Array, mask: Array, layer_params, dropout_mask, reverse: bool) -> Array:
     """x: [B, T, D]; mask: [B, T] (1 = real step). Returns [B, T, H] with
     zeros at padded steps."""
@@ -107,18 +114,20 @@ def _run_layer(x: Array, mask: Array, layer_params, dropout_mask, reverse: bool)
     h0 = jnp.zeros((b, hsz), x.dtype)
     c0 = jnp.zeros((b, hsz), x.dtype)
 
+    # hoist the input projection: one [B, T, D] @ [D, 6H] GEMM
+    gi_all = x @ layer_params["w_i"]
+
     def step(carry, inp):
         h, c = carry
-        x_t, m_t = inp
-        h_new, c_new = highway_lstm_cell(x_t, h, c, layer_params["w_i"],
-                                         layer_params["w_h"], layer_params["bias"],
-                                         dropout_mask)
+        gi_t, m_t = inp
+        h_new, c_new = highway_lstm_gates(gi_t, h, c, layer_params["w_h"],
+                                          layer_params["bias"], dropout_mask)
         m = m_t[:, None]
         h = jnp.where(m, h_new, h)
         c = jnp.where(m, c_new, c)
         return (h, c), h_new * m
 
-    xs = (jnp.swapaxes(x, 0, 1), jnp.swapaxes(mask, 0, 1))
+    xs = (jnp.swapaxes(gi_all, 0, 1), jnp.swapaxes(mask, 0, 1))
     _, ys = lax.scan(step, (h0, c0), xs)
     ys = jnp.swapaxes(ys, 0, 1)
     if reverse:
