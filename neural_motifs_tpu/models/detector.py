@@ -239,7 +239,10 @@ class ObjectDetector(nn.Module):
                     k, anchors.reshape(-1, 4), gb, gm, hw[0], hw[1], grid))(
                         keys[:b], gt_boxes, gt_mask, im_hw)
                 rpn_labels, rpn_targets = at.labels, at.target_boxes
-                det = jax.vmap(proposal_assign_det)(
+                det = jax.vmap(
+                    lambda k, r, rv, gb, gc, gm: proposal_assign_det(
+                        k, r, rv, gb, gc, gm,
+                        rois_per_img=self.budgets.rois_per_img))(
                     keys[b:], rois, roi_valid, gt_boxes, gt_classes, gt_mask)
                 rois, od_labels = det.rois, det.labels
                 od_targets, roi_valid = det.targets, det.valid
