@@ -79,8 +79,11 @@ def make_optimizer(lr: float, l2: float = 1e-4, clip: float = 5.0,
 
 
 def create_train_state(model, rng, example_batch_args: dict, tx) -> TrainState:
-    variables = model.init({"params": rng, "sample": rng, "dropout": rng},
-                           train=True, **example_batch_args)
+    # jit the whole init: one compiled program instead of thousands of
+    # individual param-init dispatches (matters on remote TPU backends)
+    rngs = {"params": rng, "sample": rng, "dropout": rng}
+    variables = jax.jit(lambda r: model.init(r, train=True,
+                                             **example_batch_args))(rngs)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
@@ -89,8 +92,12 @@ def create_train_state(model, rng, example_batch_args: dict, tx) -> TrainState:
 
 
 def make_train_step(loss_from_output: Callable, model_kwargs_from_batch: Callable,
-                    donate: bool = True):
-    """Builds a jitted train step: state, batch, rng -> (state, metrics)."""
+                    donate: bool = True, skip_nonfinite: bool = True):
+    """Builds a jitted train step: state, batch, rng -> (state, metrics).
+
+    skip_nonfinite: if the loss or grad norm is NaN/Inf, the update is
+    dropped and the old state kept (a failure-containment behavior the
+    reference lacks — a bad batch there corrupts the weights)."""
 
     def step(state: TrainState, batch, rng):
         kwargs = model_kwargs_from_batch(batch)
@@ -106,9 +113,17 @@ def make_train_step(loss_from_output: Callable, model_kwargs_from_batch: Callabl
 
         (loss, (losses, mutated)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        gnorm = optax.global_norm(grads)
         new_state = state.apply_gradients(grads).replace(
             batch_stats=mutated.get("batch_stats", state.batch_stats))
-        losses["grad_norm"] = optax.global_norm(grads)
+        if skip_nonfinite:
+            ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+            new_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(ok, new, old)
+                if hasattr(new, "dtype") else new,
+                new_state, state)
+            losses["skipped"] = (~ok).astype(jnp.float32)
+        losses["grad_norm"] = gnorm
         return new_state, losses
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

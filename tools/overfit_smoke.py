@@ -7,8 +7,11 @@ the bench machine). Usage: python tools/overfit_smoke.py [steps]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax
