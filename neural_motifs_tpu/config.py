@@ -100,6 +100,7 @@ class PadBudgets:
     rpn_pre_nms_topn_test: int = 6000
     rpn_post_nms_topn_test: int = 1000
     rpn_train_anchors: int = RPN_BATCHSIZE  # sampled anchors per image
+    per_class_nms_topk: int = 256  # per-class NMS candidate budget (None = exact)
 
 
 # ---------------------------------------------------------------------------

@@ -131,7 +131,8 @@ def decode_boxes_all(rois: Array, deltas: Array, im_hw: Array) -> Array:
 
 
 def filter_det(probs: Array, boxes_all: Array, valid: Array, max_per_img: int,
-               thresh: float, nms_thresh: float = 0.3) -> tuple[Array, Array, Array, Array]:
+               thresh: float, nms_thresh: float = 0.3,
+               per_class_topk: int | None = 256) -> tuple[Array, Array, Array, Array]:
     """Per-image final detection filtering (object_detector.py:425-485,
     nms_filter_duplicates variant): per-class NMS, then each RoI keeps its
     best surviving class, top max_per_img by score.
@@ -139,7 +140,8 @@ def filter_det(probs: Array, boxes_all: Array, valid: Array, max_per_img: int,
     probs [S, NC], boxes_all [S, NC, 4], valid [S] ->
     (idx [O] into S, scores [O], classes [O], valid [O]).
     """
-    keep = per_class_nms_mask(boxes_all, probs, valid, nms_thresh, thresh)
+    keep = per_class_nms_mask(boxes_all, probs, valid, nms_thresh, thresh,
+                              per_class_topk=per_class_topk)
     dists = probs * keep
     scores_pre = jnp.max(dists, axis=1)
     labels_pre = jnp.argmax(dists, axis=1)
@@ -265,7 +267,8 @@ class ObjectDetector(nn.Module):
             boxes_all = decode_boxes_all(rois, od_box_deltas, im_hw)
 
             def one(p, ba, va):
-                return filter_det(p, ba, va, self.max_per_img, self.thresh)
+                return filter_det(p, ba, va, self.max_per_img, self.thresh,
+                                  per_class_topk=self.budgets.per_class_nms_topk)
 
             idx, scores, classes, ok = jax.vmap(one)(probs, boxes_all, roi_valid)
             take = jax.vmap(lambda x, i: x[i])

@@ -133,7 +133,8 @@ def nms_topk(boxes: Array, scores: Array, valid: Array, iou_thresh: float,
 
 
 def per_class_nms_mask(boxes_per_cls: Array, probs: Array, valid: Array,
-                       iou_thresh: float = 0.3, score_thresh: float = 0.05) -> Array:
+                       iou_thresh: float = 0.3, score_thresh: float = 0.05,
+                       per_class_topk: int | None = 256) -> Array:
     """Per-class NMS keep mask over [N, C] detections.
 
     Equivalent of the per-class loop in filter_det (reference
@@ -142,15 +143,39 @@ def per_class_nms_mask(boxes_per_cls: Array, probs: Array, valid: Array,
     whose max prob <= score_thresh are dropped entirely. Background (c=0)
     is never kept.
 
+    per_class_topk: restrict each class's NMS to its top-K candidates by
+    probability. Greedy survival of a box depends only on higher-scored
+    boxes of the same class, so decisions for the top-K are exact; a box
+    below rank K could only matter if >= K-64 higher-probability same-class
+    boxes were all suppressed AND it still made the global top-64 — set
+    None for the fully exact (but ~(N/K)^2 x costlier) variant.
+
     boxes_per_cls: [N, C, 4]; probs: [N, C]; valid: [N].
     Returns keep: [N, C] bool.
     """
     n, c = probs.shape
+    k = per_class_topk
+    if k is None or k >= n:
+        def one_class(bc, pc):
+            return greedy_nms_mask(bc, pc, valid, iou_thresh)
 
-    def one_class(bc, pc):
-        return greedy_nms_mask(bc, pc, valid, iou_thresh)
+        keep = jax.vmap(one_class, in_axes=(1, 1), out_axes=1)(boxes_per_cls,
+                                                               probs)
+    else:
+        p = jnp.where(valid[:, None], probs, -1.0)          # [N, C]
+        top_p, top_i = jax.lax.top_k(p.T, k)                # [C, K]
+        bc = jnp.take_along_axis(
+            jnp.moveaxis(boxes_per_cls, 1, 0),              # [C, N, 4]
+            top_i[..., None], axis=1)                       # [C, K, 4]
 
-    keep = jax.vmap(one_class, in_axes=(1, 1), out_axes=1)(boxes_per_cls, probs)
+        def one_class(bck, pck):
+            return greedy_nms_mask(bck, pck, pck >= 0.0, iou_thresh)
+
+        keep_k = jax.vmap(one_class)(bc, top_p)             # [C, K]
+        keep = jnp.zeros((c, n), bool)
+        keep = jax.vmap(lambda row, idx, kk: row.at[idx].set(kk))(
+            keep, top_i, keep_k)
+        keep = keep.T                                        # [N, C]
     cls_ok = (jnp.max(jnp.where(valid[:, None], probs, 0.0), axis=0) > score_thresh)
     keep = keep & cls_ok[None, :]
     keep = keep.at[:, 0].set(False)

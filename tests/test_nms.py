@@ -92,3 +92,25 @@ def test_tiled_path_parity(rng):
                                      jnp.asarray(valid), 0.4, tile=128))
     exp = np_greedy_nms(boxes, scores, valid, 0.4)
     np.testing.assert_array_equal(got, exp)
+
+
+def test_per_class_topk_matches_exact(rng):
+    n, c = 60, 6
+    boxes = rand_boxes(rng, n, scale=120)
+    per_cls = np.stack([boxes + 2.0 * ci for ci in range(c)], axis=1)
+    probs = rng.dirichlet(np.ones(c), n).astype(np.float32)
+    valid = rng.uniform(0, 1, n) > 0.1
+    exact = np.asarray(per_class_nms_mask(jnp.asarray(per_cls), jnp.asarray(probs),
+                                          jnp.asarray(valid), 0.3, 0.01,
+                                          per_class_topk=None))
+    K = 32
+    fast = np.asarray(per_class_nms_mask(jnp.asarray(per_cls), jnp.asarray(probs),
+                                         jnp.asarray(valid), 0.3, 0.01,
+                                         per_class_topk=K))
+    # guarantees: (1) fast keeps are a subset of exact keeps; (2) within each
+    # class's top-K candidates the decisions agree exactly
+    assert not (fast & ~exact).any()
+    for ci in range(c):
+        p_ci = np.where(valid, probs[:, ci], -1)
+        topk = np.argsort(-p_ci)[:K]
+        np.testing.assert_array_equal(fast[topk, ci], exact[topk, ci])
