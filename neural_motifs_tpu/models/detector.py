@@ -152,6 +152,25 @@ def filter_det(probs: Array, boxes_all: Array, valid: Array, max_per_img: int,
     return idx.astype(jnp.int32), top_scores, labels_pre[idx].astype(jnp.int32), ok
 
 
+class SELUHead(nn.Module):
+    """The deprecated ResNet RoI fc head: Linear -> SELU -> dropout, twice
+    (object_detector.py:91-98; AlphaDropout approximated by dropout on this
+    deprecated path)."""
+
+    dtype: Any = jnp.bfloat16
+    out_dim: int = 2048
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.reshape(x.shape[:-3] + (-1,)).astype(self.dtype)
+        for i in range(2):
+            x = nn.Dense(self.out_dim, dtype=self.dtype,
+                         param_dtype=jnp.float32, name=f"fc{i}")(x)
+            x = jax.nn.selu(x)
+            x = nn.Dropout(0.05, deterministic=not train)(x)
+        return x
+
+
 class ObjectDetector(nn.Module):
     """Detection core (reference ObjectDetector, lib/object_detector.py:50-422)."""
 
@@ -159,13 +178,25 @@ class ObjectDetector(nn.Module):
     mode: str = "rpntrain"
     max_per_img: int = 64
     thresh: float = 0.05
+    use_resnet: bool = False
     dtype: Any = jnp.bfloat16
     budgets: C.PadBudgets = C.PadBudgets()
 
     def setup(self):
         assert self.mode in MODES
-        self.features = VGG16Features(dtype=self.dtype)
-        self.roi_head = VGGRoIHead(dtype=self.dtype)
+        if self.use_resnet:
+            # deprecated alternative backbone (object_detector.py:84-100):
+            # ResNet-101-C4 trunk + 1x1 compress + SELU fc RoI head
+            from neural_motifs_tpu.models.resnet import ResNet101C4
+            self.features = ResNet101C4(dtype=self.dtype)
+            self.compress = nn.Sequential([
+                nn.Conv(256, (1, 1), dtype=self.dtype, param_dtype=jnp.float32),
+                nn.relu,
+                nn.BatchNorm(use_running_average=True)])
+            self.roi_head = SELUHead(dtype=self.dtype)
+        else:
+            self.features = VGG16Features(dtype=self.dtype)
+            self.roi_head = VGGRoIHead(dtype=self.dtype)
         self.score_fc = nn.Dense(self.num_classes, param_dtype=jnp.float32,
                                  dtype=jnp.float32)
         self.bbox_fc = nn.Dense(self.num_classes * 4, param_dtype=jnp.float32,
@@ -176,8 +207,10 @@ class ObjectDetector(nn.Module):
         return self.features(images)
 
     def obj_feature_map(self, fmap, rois, valid, train: bool):
-        """RoIAlign 7x7 + VGG fc tower -> [B, S, 4096]
+        """RoIAlign 7x7 + fc tower -> [B, S, 4096 (vgg) | 2048 (resnet)]
         (object_detector.py:129-138)."""
+        if self.use_resnet:
+            fmap = self.compress(fmap)
         pooled = roi_align(fmap, rois, valid, 7, 1.0 / C.FEAT_STRIDE)
         return self.roi_head(pooled, train=train).astype(jnp.float32)
 

@@ -152,6 +152,7 @@ class RelModel(nn.Module):
     pass_in_obj_feats_to_decoder: bool = True
     pass_in_obj_feats_to_edge: bool = True
     use_proposals: bool = False
+    use_resnet: bool = False
     dtype: Any = jnp.bfloat16
     budgets: C.PadBudgets = C.PadBudgets()
 
@@ -165,7 +166,7 @@ class RelModel(nn.Module):
         self.detector = ObjectDetector(
             num_classes=self.num_classes, mode=det_mode, thresh=self.thresh,
             max_per_img=self.budgets.objs_per_img, dtype=self.dtype,
-            budgets=self.budgets)
+            use_resnet=self.use_resnet, budgets=self.budgets)
         ev = (self.embed_vecs if self.embed_vecs is not None
               else np.zeros((self.num_classes, self.embed_dim), np.float32))
         dev = (self.decoder_embed_vecs if self.decoder_embed_vecs is not None
@@ -177,11 +178,20 @@ class RelModel(nn.Module):
             dropout_rate=self.rec_dropout, order=self.order,
             pass_in_obj_feats_to_decoder=self.pass_in_obj_feats_to_decoder,
             pass_in_obj_feats_to_edge=self.pass_in_obj_feats_to_edge)
-        self.union_boxes = UnionBoxesAndFeats(pooling_size=7, dim=512,
-                                              dtype=self.dtype)
-        self.roi_fmap = UnionVGGHead(pooling_dim=self.pooling_dim,
-                                     fc_dim=self.obj_dim, dtype=self.dtype)
-        self.roi_fmap_obj = VGGRoIHead(fc_dim=self.obj_dim, dtype=self.dtype)
+        self.union_boxes = UnionBoxesAndFeats(
+            pooling_size=7, dim=1024 if self.use_resnet else 512,
+            dtype=self.dtype)
+        if self.use_resnet:
+            # resnet path (rel_model.py:360-365): layer4 RoI head, 2048-d,
+            # used for both towers (the reference only defines the union
+            # tower here; its obj tower is VGG-only — a latent upstream gap)
+            from neural_motifs_tpu.models.resnet import ResNetRoIHead
+            self.roi_fmap = ResNetRoIHead(dtype=self.dtype, relu_end=False)
+            self.roi_fmap_obj = ResNetRoIHead(dtype=self.dtype)
+        else:
+            self.roi_fmap = UnionVGGHead(pooling_dim=self.pooling_dim,
+                                         fc_dim=self.obj_dim, dtype=self.dtype)
+            self.roi_fmap_obj = VGGRoIHead(fc_dim=self.obj_dim, dtype=self.dtype)
 
         # init N(0, 10*sqrt(1/hidden)) (rel_model.py:377-384)
         self.post_lstm = nn.Dense(

@@ -41,6 +41,7 @@ class RelModelStanford(nn.Module):
     thresh: float = 0.01
     require_overlap_det: bool = True
     use_proposals: bool = False
+    use_resnet: bool = False
     dtype: Any = jnp.bfloat16
     budgets: C.PadBudgets = C.PadBudgets()
 

@@ -48,6 +48,7 @@ def build_model(cfg: C.ModelConfig, train_data, dtype=None):
     kw = dict(num_classes=train_data.num_classes,
               num_rels=train_data.num_predicates, mode=cfg.mode,
               use_proposals=cfg.use_proposals, budgets=cfg.budgets,
+              use_resnet=cfg.use_resnet,
               dtype=dtype or jnp.dtype(cfg.compute_dtype))
     if cls is RelModel:
         kw.update(embed_vecs=embed, decoder_embed_vecs=dec_embed,

@@ -193,3 +193,15 @@ def test_detector_proposals_mode(rng):
                     proposal_mask=jnp.asarray(pmask), train=False)
     assert out.rm_boxes.shape == (B, 8, 4)
     assert out.boxes_all.shape == (B, 8, NC, 4)
+
+
+def test_resnet_backbone_path(rng):
+    """Deprecated ResNet-101-C4 alternative backbone (use_resnet)."""
+    model = make_model("sgcls", use_resnet=True, obj_dim=2048,
+                       pooling_dim=2048)
+    batch = tiny_batch(rng)
+    variables = model.init(RNGS, train=True, **batch)
+    out, _ = model.apply(variables, train=True, rngs=RNGS,
+                         mutable=["batch_stats"], **batch)
+    losses = rel_losses(out)
+    assert np.isfinite(float(losses["total"]))
