@@ -205,3 +205,50 @@ def test_resnet_backbone_path(rng):
                          mutable=["batch_stats"], **batch)
     losses = rel_losses(out)
     assert np.isfinite(float(losses["total"]))
+
+
+def test_predcls_end_to_end_recall_with_stuffed_bias(rng):
+    """Full-system integration: make the predicate deterministic in the GT
+    (p = f(cls_s, cls_o)) and stuff the frequency-bias table to dominate the
+    rel logits. The decoded SGPrediction fed through prediction_to_entries
+    and the evaluator must then score ~perfect predcls R@100 — exercising
+    pair enumeration, bias lookup, triplet sort, entry conversion, and the
+    evaluator end to end."""
+    from neural_motifs_tpu.evaluation.sg_eval import BasicSceneGraphEvaluator
+    from neural_motifs_tpu.models.rel_model import prediction_to_entries
+
+    # deterministic predicate from the class pair
+    def pred_of(cs, co):
+        return (cs + co) % (NP - 1) + 1
+
+    table = np.full((NC * NC, NP), -20.0, np.float32)
+    for cs in range(NC):
+        for co in range(NC):
+            table[cs * NC + co, pred_of(cs, co)] = 20.0
+
+    model = make_model("predcls", freq_table=table, use_tanh=True)
+    batch = tiny_batch(rng)
+    # rewrite GT predicates to follow the rule
+    gt_rels = np.asarray(batch["gt_rels"]).copy()
+    gt_classes = np.asarray(batch["gt_classes"])
+    for b in range(B):
+        for k in range(gt_rels.shape[1]):
+            s, o, _ = gt_rels[b, k]
+            gt_rels[b, k, 2] = pred_of(gt_classes[b, s], gt_classes[b, o])
+    batch["gt_rels"] = jnp.asarray(gt_rels)
+
+    variables = model.init(RNGS, train=True, **batch)
+    pred = model.apply(variables, train=False, rngs=RNGS, **batch)
+    entries = prediction_to_entries(jax.device_get(pred))
+
+    ev = BasicSceneGraphEvaluator("predcls")
+    gt_mask = np.asarray(batch["gt_mask"])
+    rel_mask = np.asarray(batch["gt_rel_mask"])
+    for b in range(B):
+        n = int(gt_mask[b].sum())
+        gt = {"gt_classes": gt_classes[b, :n],
+              "gt_boxes": np.asarray(batch["gt_boxes"])[b, :n] * C.BOX_SCALE / C.IM_SCALE,
+              "gt_relations": gt_rels[b][rel_mask[b]]}
+        ev.evaluate_scene_graph_entry(gt, entries[b])
+    r100 = ev.mean_recall(100)
+    assert r100 > 0.99, f"stuffed-bias predcls R@100 = {r100}"
