@@ -95,3 +95,68 @@ def test_perfect_predictions_give_recall_one(rng):
     ev.evaluate_scene_graph_entry(gt, pred)
     for k in (20, 50, 100):
         assert ev.result_dict["sgdet_recall"][k][-1] == 1.0
+
+
+def test_multiple_preds_beats_single_when_second_guess_right(rng):
+    """multiple_preds scores all predicates per pair (sg_eval.py:98-103):
+    construct a case where the argmax predicate is wrong but the
+    second-best is right — only multi_pred recalls it."""
+    gt_boxes = np.array([[0, 0, 50, 50], [100, 100, 160, 160]], float)
+    gt_classes = np.array([3, 7])
+    gt = dict(gt_relations=np.array([[0, 1, 2]]), gt_boxes=gt_boxes,
+              gt_classes=gt_classes)
+    rel_scores = np.zeros((2, 5))
+    rel_scores[0, 1] = 0.6   # wrong predicate ranked first
+    rel_scores[0, 2] = 0.3   # right predicate second
+    rel_scores[1, 3] = 0.1
+    pred = dict(pred_boxes=gt_boxes, pred_classes=gt_classes,
+                obj_scores=np.ones(2),
+                pred_rel_inds=np.array([[0, 1], [1, 0]]),
+                rel_scores=rel_scores)
+    single = BasicSceneGraphEvaluator("sgdet")
+    single.evaluate_scene_graph_entry(gt, pred)
+    multi = BasicSceneGraphEvaluator("sgdet", multiple_preds=True)
+    multi.evaluate_scene_graph_entry(gt, pred)
+    assert single.result_dict["sgdet_recall"][100][-1] == 0.0
+    assert multi.result_dict["sgdet_recall"][100][-1] == 1.0
+
+
+def test_phrdet_union_box_matching(rng):
+    """phrdet matches on the union box (sg_eval.py:266-274): shift both
+    boxes so neither matches individually but the union does."""
+    gt_boxes = np.array([[0, 0, 100, 100], [120, 0, 220, 100]], float)
+    gt_classes = np.array([3, 7])
+    gt = dict(gt_relations=np.array([[0, 1, 2]]), gt_boxes=gt_boxes,
+              gt_classes=gt_classes)
+    # predicted boxes split the union differently: sub covers most of the
+    # union, obj is a sliver — per-box IoU < 0.5 vs GT, union IoU ~ 1
+    pred_boxes = np.array([[0, 0, 180, 100], [180, 0, 220, 100]], float)
+    rel_scores = np.zeros((1, 5))
+    rel_scores[0, 2] = 0.9
+    pred = dict(pred_boxes=pred_boxes, pred_classes=gt_classes,
+                obj_scores=np.ones(2),
+                pred_rel_inds=np.array([[0, 1]]), rel_scores=rel_scores)
+    sgdet = BasicSceneGraphEvaluator("sgdet")
+    sgdet.evaluate_scene_graph_entry(gt, pred)
+    phr = BasicSceneGraphEvaluator("phrdet")
+    phr.evaluate_scene_graph_entry(gt, pred)
+    assert sgdet.result_dict["sgdet_recall"][100][-1] == 0.0
+    assert phr.result_dict["phrdet_recall"][100][-1] == 1.0
+
+
+def test_preddet_only_gt_pairs(rng):
+    """preddet restricts scoring to pairs present in GT (sg_eval.py:74-94)."""
+    gt_boxes = np.array([[0, 0, 50, 50], [100, 100, 160, 160]], float)
+    gt_classes = np.array([3, 7])
+    gt = dict(gt_relations=np.array([[0, 1, 2]]), gt_boxes=gt_boxes,
+              gt_classes=gt_classes)
+    rel_scores = np.zeros((2, 5))
+    rel_scores[0, 2] = 0.9   # right pair, right predicate
+    rel_scores[1, 4] = 0.95  # wrong pair with higher score — must be ignored
+    pred = dict(pred_boxes=gt_boxes, pred_classes=gt_classes,
+                obj_scores=np.ones(2),
+                pred_rel_inds=np.array([[0, 1], [1, 0]]),
+                rel_scores=rel_scores)
+    ev = BasicSceneGraphEvaluator("preddet", multiple_preds=True)
+    ev.evaluate_scene_graph_entry(gt, pred)
+    assert ev.result_dict["preddet_recall"][100][-1] == 1.0
