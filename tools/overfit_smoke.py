@@ -56,17 +56,23 @@ def make_batch(rng):
                 gt_rels=gt_rels, gt_rel_mask=gt_rel_mask)
 
 
-def main(steps: int = 40):
+def main(steps: int = 40, mode: str = "sgcls", model_name: str = "motifnet"):
     rng = np.random.RandomState(0)
     r2 = np.random.RandomState(1)
-    model = RelModel(num_classes=NC, num_rels=NP, mode="sgcls", budgets=TINY,
-                     dtype=jnp.float32, thresh=0.0, hidden_dim=32,
-                     pooling_dim=64, obj_dim=64, embed_dim=8, nl_obj=2,
-                     nl_edge=2, use_bias=True, limit_vision=False,
-                     rec_dropout=0.0,
-                     embed_vecs=r2.randn(NC, 8).astype(np.float32),
-                     decoder_embed_vecs=r2.randn(NC + 1, 100).astype(np.float32),
-                     freq_table=np.zeros((NC * NC, NP), np.float32))
+    if model_name == "stanford":
+        from neural_motifs_tpu.models.rel_model_stanford import RelModelStanford
+        model = RelModelStanford(num_classes=NC, num_rels=NP, mode=mode,
+                                 budgets=TINY, dtype=jnp.float32, thresh=0.0,
+                                 obj_dim=64)
+    else:
+        model = RelModel(num_classes=NC, num_rels=NP, mode=mode, budgets=TINY,
+                         dtype=jnp.float32, thresh=0.0, hidden_dim=32,
+                         pooling_dim=64, obj_dim=64, embed_dim=8, nl_obj=2,
+                         nl_edge=2, use_bias=True, limit_vision=False,
+                         rec_dropout=0.0,
+                         embed_vecs=r2.randn(NC, 8).astype(np.float32),
+                         decoder_embed_vecs=r2.randn(NC + 1, 100).astype(np.float32),
+                         freq_table=np.zeros((NC * NC, NP), np.float32))
     batch = make_batch(rng)
     tx = make_optimizer(2e-3, l2=0.0, clip=5.0, fc_lr_factor=None,
                         freeze_detector=True)
@@ -87,8 +93,10 @@ def main(steps: int = 40):
     first, last = np.mean(losses[:5]), np.mean(losses[-5:])
     print(f"loss {first:.4f} -> {last:.4f}")
     assert last < first * 0.8, "loss did not drop on the overfit batch"
-    print("OVERFIT SMOKE: OK")
+    print(f"OVERFIT SMOKE [{model_name}/{mode}]: OK")
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 40)
+    a = sys.argv[1:]
+    main(int(a[0]) if a else 40, a[1] if len(a) > 1 else "sgcls",
+         a[2] if len(a) > 2 else "motifnet")
