@@ -284,9 +284,21 @@ class RelModel(nn.Module):
         prod_rep = take(subj_rep, pairs.sub) * take(obj_rep, pairs.obj)
 
         if self.use_vision:
-            upools = self.union_boxes(fmap, boxes, pairs.sub, pairs.obj,
-                                      pairs.valid, train=train)
-            vr = self.roi_fmap(upools, train=train)
+            # process pairs in chunks so the [B, P, 7, 7, 512] union pools
+            # and mask-conv tensors never materialize at full size (P ~ 4k
+            # at eval); params are shared across the repeated submodule
+            # calls. Train uses <= 256 pairs = one chunk.
+            p_total = pairs.sub.shape[1]
+            chunk = 512
+            vr_parts = []
+            for s0 in range(0, p_total, chunk):
+                sl = slice(s0, min(s0 + chunk, p_total))
+                up = self.union_boxes(fmap, boxes, pairs.sub[:, sl],
+                                      pairs.obj[:, sl], pairs.valid[:, sl],
+                                      train=train)
+                vr_parts.append(self.roi_fmap(up, train=train))
+            vr = (vr_parts[0] if len(vr_parts) == 1
+                  else jnp.concatenate(vr_parts, axis=1))
             if self.limit_vision:
                 # only the first 2048 dims get the visual gate (rel_model.py:515-519)
                 prod_rep = jnp.concatenate(

@@ -151,10 +151,19 @@ class RelModelStanford(nn.Module):
                                      rel_mask=gt_rel_mask))
 
         # visual rep over union boxes (NOT detached in the reference,
-        # rel_model_stanford.py:149 — but the detector is frozen anyway)
-        upools = self.union_boxes(fmap, boxes, pairs.sub, pairs.obj,
-                                  pairs.valid, train=train)
-        visual_rep = self.roi_fmap(upools, train=train)
+        # rel_model_stanford.py:149 — but the detector is frozen anyway);
+        # chunked over pairs as in RelModel
+        p_total = pairs.sub.shape[1]
+        chunk = 512
+        vr_parts = []
+        for s0 in range(0, p_total, chunk):
+            sl = slice(s0, min(s0 + chunk, p_total))
+            up = self.union_boxes(fmap, boxes, pairs.sub[:, sl],
+                                  pairs.obj[:, sl], pairs.valid[:, sl],
+                                  train=train)
+            vr_parts.append(self.roi_fmap(up, train=train))
+        visual_rep = (vr_parts[0] if len(vr_parts) == 1
+                      else jnp.concatenate(vr_parts, axis=1))
 
         pooled = roi_align(fmap, boxes, valid, 7, 1.0 / C.FEAT_STRIDE)
         obj_fmap = self.roi_fmap_obj(pooled, train=train).astype(jnp.float32)
