@@ -242,6 +242,23 @@ class RelModel(nn.Module):
                                         det.rm_valid, det.rm_valid)
             pair_iou = jax.vmap(lambda m, s, t: m[s, t])(iou, sub, obj)
             valid = valid & (pair_iou > 0)
+
+        budget = self.budgets.max_pairs_eval
+        if budget < sub.shape[1]:
+            # serving-mode compaction: keep the `budget` most promising
+            # pairs (all valid pairs first, ranked by the object-score
+            # product — the upper bound on the triplet score). Exact
+            # whenever #valid <= budget; a knob, default off (4096 >= all).
+            if det.obj_scores is not None:
+                sc = det.obj_scores
+            else:
+                sc = jnp.ones_like(det.rm_valid, jnp.float32)
+            prod = take(sc, sub) * take(sc, obj)
+            key = jnp.where(valid, 1.0 + prod, 0.0)
+            _, idx = jax.lax.top_k(key, budget)
+            sub = take(sub, idx)
+            obj = take(obj, idx)
+            valid = jnp.take_along_axis(key, idx, axis=1) > 0.5
         return RelSample(sub=sub, obj=obj,
                          label=jnp.zeros_like(sub), valid=valid)
 

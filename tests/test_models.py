@@ -252,3 +252,22 @@ def test_predcls_end_to_end_recall_with_stuffed_bias(rng):
         ev.evaluate_scene_graph_entry(gt, entries[b])
     r100 = ev.mean_recall(100)
     assert r100 > 0.99, f"stuffed-bias predcls R@100 = {r100}"
+
+
+def test_eval_pair_compaction_exact_when_budget_suffices(rng):
+    """max_pairs_eval < all-pairs: the compacted pair set must contain
+    exactly the valid pairs (order-insensitive) when #valid <= budget."""
+    import dataclasses
+    budgets = dataclasses.replace(TINY, max_pairs_eval=30)
+    model = make_model("predcls", budgets=budgets)
+    batch = tiny_batch(rng)  # 5 valid objects -> 20 valid pairs <= 30
+    variables = model.init(RNGS, train=True, **batch)
+    pred = model.apply(variables, train=False, rngs=RNGS, **batch)
+    rv = np.asarray(pred.rel_valid)
+    ri = np.asarray(pred.rel_inds)
+    gm = np.asarray(batch["gt_mask"])
+    for b in range(B):
+        n = int(gm[b].sum())
+        got = {(int(s), int(o)) for (s, o) in ri[b][rv[b]]}
+        exp = {(i, j) for i in range(n) for j in range(n) if i != j}
+        assert got == exp
