@@ -27,7 +27,9 @@ def main():
     from neural_motifs_tpu import config as C
     from neural_motifs_tpu.models.rel_model import RelModel
 
-    batch = int(__import__("os").environ.get("NM_BENCH_BATCH", "4"))
+    # default = the tuned config (batch 8) so the tracked BENCH artifact
+    # reflects real capability (VERDICT r1 weak #3)
+    batch = int(__import__("os").environ.get("NM_BENCH_BATCH", "8"))
     iters = int(__import__("os").environ.get("NM_BENCH_ITERS", "10"))
 
     budgets = C.PadBudgets()

@@ -52,18 +52,37 @@ def load_info(dict_file: str):
     return ind_to_classes, ind_to_predicates
 
 
-def load_image_filenames(image_file: str, image_dir: str):
-    """Filenames of the 108,073 usable images (visual_genome.py:239-261)."""
+EXPECTED_NUM_IMAGES = 108073
+
+
+def load_image_filenames(image_file: str, image_dir: str,
+                         expected: int | None = EXPECTED_NUM_IMAGES):
+    """Filenames of the 108,073 usable images (visual_genome.py:239-261).
+
+    split_mask indices from VG-SGG.h5 assume the full ordering; a missing
+    file on disk would silently shift every subsequent filename and misalign
+    images with their GT, so (like the reference's `assert len(fns) ==
+    108073`) fail loudly instead. Pass expected=None only for fabricated
+    test fixtures."""
     with open(image_file) as f:
         im_data = json.load(f)
     fns = []
+    missing = []
     for img in im_data:
         basename = f"{img['image_id']}.jpg"
         if basename in CORRUPTED_IMS:
             continue
         fn = os.path.join(image_dir, basename)
-        if os.path.exists(fn):
-            fns.append(fn)
+        if not os.path.exists(fn):
+            missing.append(basename)
+            continue
+        fns.append(fn)
+    if expected is not None and len(fns) != expected:
+        raise RuntimeError(
+            f"load_image_filenames: got {len(fns)} images, expected "
+            f"{expected}; {len(missing)} listed files missing from "
+            f"{image_dir} (first few: {missing[:5]}). A partial image dir "
+            f"would misalign every h5 index with its image.")
     return fns
 
 
@@ -154,7 +173,12 @@ class VG:
             load_graphs(roidb_file, mode, num_im, num_val_im,
                         filter_empty_rels=filter_empty_rels,
                         filter_non_overlap=filter_non_overlap and self.is_train)
-        fns = load_image_filenames(image_file, image_dir)
+        fns = load_image_filenames(image_file, image_dir, expected=None)
+        if len(fns) != len(self.split_mask):
+            raise RuntimeError(
+                f"image list ({len(fns)}) does not align with the h5 split "
+                f"axis ({len(self.split_mask)}): files missing from "
+                f"{image_dir} would shift every filename off its GT entry.")
         self.filenames = [fns[i] for i in np.where(self.split_mask)[0]]
         self.ind_to_classes, self.ind_to_predicates = load_info(dict_file)
         self.rng = np.random.RandomState(seed)

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from neural_motifs_tpu import config as C
 from neural_motifs_tpu.ops.boxes import center_size, nms_overlaps
 from neural_motifs_tpu.ops.highway_lstm import (alternating_highway_lstm,
                                                 block_orthogonal)
@@ -31,6 +32,50 @@ def _ortho_init(block: tuple[int, int]):
     def init(key, shape, dtype=jnp.float32):
         return jnp.asarray(block_orthogonal(key, shape, block))
     return init
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d over the valid rows of a padded [..., F] tensor.
+
+    Matches torch.nn.BatchNorm1d semantics (the reference pos_embed BN,
+    rel_model.py:103-108): training normalizes with the batch statistics of
+    the (valid) rows and updates running stats with the UNBIASED variance;
+    eval normalizes with the running stats. The reference has no padding, so
+    "valid rows" there is all rows — here padded rows must not pollute the
+    batch statistics.
+
+    momentum is in the flax convention: new = momentum * old + (1-m) * batch
+    (i.e. flax_momentum = 1 - torch_momentum).
+    """
+
+    momentum: float = 0.999
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask, use_running_average: bool):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            w = mask.reshape(-1).astype(jnp.float32)
+            xf = x.reshape(-1, feat).astype(jnp.float32)
+            n = jnp.maximum(w.sum(), 1.0)
+            mean = (xf * w[:, None]).sum(0) / n
+            var = (w[:, None] * jnp.square(xf - mean)).sum(0) / n
+            if not self.is_initializing():
+                unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum) * unbiased)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps) * scale + bias
+        return y.astype(x.dtype)
 
 
 class AlternatingHighwayLSTM(nn.Module):
@@ -189,12 +234,23 @@ class DecoderRNN(nn.Module):
         probs = jnp.where(mask[..., None], probs, -1.0)
         is_over = nms_overlaps(boxes_for_nms) >= self.nms_thresh  # [B, T, T, NC]
 
-        def body(_, state):
+        n_valid = mask.sum(axis=1)
+
+        def body(i, state):
             probs, commits = state
             flat = probs.reshape(b, -1)
             best = jnp.argmax(flat, axis=1)
             box_i = best // nc
             cls_i = (best % nc).astype(jnp.int32)
+            # the padded fori_loop runs T times but the reference loop runs
+            # exactly N=#valid times (decoder_rnn.py:241). Iterations past N
+            # must be no-ops: the suppression step can resurrect entries of
+            # already-committed boxes back to 0.0, and an extra iteration
+            # would re-pick one and overwrite its commit (and once all
+            # entries hit -1 the argmax degenerates to flat index 0).
+            live = i < n_valid
+            cls_i = jnp.where(live, cls_i,
+                              jax.vmap(lambda c, bi: c[bi])(commits, box_i))
             commits = jax.vmap(lambda c, bi, ci: c.at[bi].set(ci))(commits, box_i, cls_i)
             # zero same-class probs of boxes overlapping the chosen one
             over = jax.vmap(lambda o, bi, ci: o[bi, :, ci])(is_over, box_i, cls_i)
@@ -275,9 +331,11 @@ class LinearizedContext(nn.Module):
         self.obj_embed2 = self.param("obj_embed2",
                                      lambda k, s: jnp.asarray(self.embed_vecs),
                                      (self.num_classes, self.embed_dim))
-        # position embed: BN(4) + Linear(4, 128) + relu + dropout
-        self.pos_bn = nn.BatchNorm(momentum=1.0 - 0.01 / 10.0, use_running_average=True)
+        # position embed: BN(4) + Linear(4, 128) + ReLU + Dropout(0.1)
+        # (rel_model.py:103-108; torch momentum 0.01/10 -> flax 1-0.001)
+        self.pos_bn = MaskedBatchNorm(momentum=1.0 - C.BATCHNORM_MOMENTUM / 10.0)
         self.pos_fc = nn.Dense(128)
+        self.pos_drop = nn.Dropout(0.1)
         if self.nl_obj > 0:
             self.obj_ctx_rnn = AlternatingHighwayLSTM(
                 input_size=self.obj_dim + self.embed_dim + 128,
@@ -309,7 +367,10 @@ class LinearizedContext(nn.Module):
         boxes [B,O,4]; valid [B,O]; obj_labels [B,O] (train / predcls)."""
         soft = jax.nn.softmax(obj_logits, axis=-1)
         obj_embedded = soft @ self.obj_embed                    # [B, O, E]
-        pos = nn.relu(self.pos_fc(self.pos_bn(center_size(boxes))))
+        pos = self.pos_drop(
+            nn.relu(self.pos_fc(self.pos_bn(center_size(boxes), valid,
+                                            use_running_average=not train))),
+            deterministic=not train)
         obj_pre_rep = jnp.concatenate([obj_fmaps, obj_embedded, pos], -1)
 
         rng = self.make_rng("sample") if self.order == "random" else None

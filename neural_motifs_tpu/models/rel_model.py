@@ -38,9 +38,14 @@ def all_pair_indices(num_objs: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 class UnionVGGHead(nn.Module):
-    """The union-feature fc tower: Linear 25088->4096 -> relu -> dropout ->
-    Linear 4096->4096 (no trailing relu), plus an optional projection when
-    pooling_dim != 4096 (rel_model.py:367-373 via load_vgg flags)."""
+    """The union-feature fc tower (rel_model.py:367-373 via the load_vgg
+    module-deletion flags, object_detector.py:623-633):
+
+      pooling_dim == 4096: Linear 25088->4096 -> ReLU -> Dropout(0.5) ->
+                           Linear 4096->4096 (no trailing relu/dropout)
+      pooling_dim != 4096: the second vgg linear is DELETED and replaced by
+                           Linear 4096->pooling_dim
+    """
 
     pooling_dim: int = 4096
     fc_dim: int = 4096
@@ -53,9 +58,10 @@ class UnionVGGHead(nn.Module):
                      name="fc0")(x)
         x = nn.relu(x)
         x = nn.Dropout(0.5, deterministic=not train)(x)
-        x = nn.Dense(self.fc_dim, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="fc1")(x)
-        if self.pooling_dim != self.fc_dim:
+        if self.pooling_dim == self.fc_dim:
+            x = nn.Dense(self.fc_dim, dtype=self.dtype,
+                         param_dtype=jnp.float32, name="fc1")(x)
+        else:
             x = nn.Dense(self.pooling_dim, dtype=self.dtype,
                          param_dtype=jnp.float32, name="proj")(x)
         return x

@@ -184,11 +184,18 @@ def import_reference_rel_model(path_or_sd, *, hidden_dim: int, obj_dim: int,
                                embed_dim: int, nl_obj: int, nl_edge: int,
                                pooling_dim: int,
                                pass_in_obj_feats_to_decoder: bool = True,
-                               pass_in_obj_feats_to_edge: bool = True) -> dict:
-    """Reference vgrel checkpoint -> RelModel params subtree (best effort;
-    unknown keys are reported by optimistic_restore at merge time)."""
+                               pass_in_obj_feats_to_edge: bool = True
+                               ) -> tuple[dict, dict]:
+    """Reference vgrel checkpoint -> (params, batch_stats) subtrees (best
+    effort; unknown keys are reported by optimistic_restore at merge time).
+
+    batch_stats carries the BatchNorm running mean/var of the position embed
+    (rel_model.py:103-108) and the union-mask conv net
+    (get_union_boxes.py:31-39) — dropping these freezes the BNs at (0, 1)
+    and garbles any imported reference checkpoint."""
     sd = _torch_load(path_or_sd) if isinstance(path_or_sd, str) else path_or_sd
     p: dict = {}
+    stats: dict = {}
 
     # detector subtree
     det_sd = {k[len("detector."):]: v for k, v in sd.items()
@@ -220,6 +227,10 @@ def import_reference_rel_model(path_or_sd, *, hidden_dim: int, obj_dim: int,
                          "bias": np.asarray(sd["context.pos_embed.0.bias"])}
         ctx["pos_fc"] = {"kernel": _lin_t(sd["context.pos_embed.1.weight"]),
                          "bias": np.asarray(sd["context.pos_embed.1.bias"])}
+        if "context.pos_embed.0.running_mean" in sd:
+            stats["context"] = {"pos_bn": {
+                "mean": np.asarray(sd["context.pos_embed.0.running_mean"]),
+                "var": np.asarray(sd["context.pos_embed.0.running_var"])}}
     if nl_obj > 0 and "context.obj_ctx_rnn.weight" in sd:
         layers = _split_lstm_flat(np.asarray(sd["context.obj_ctx_rnn.weight"]),
                                   np.asarray(sd["context.obj_ctx_rnn.bias"]),
@@ -267,7 +278,16 @@ def import_reference_rel_model(path_or_sd, *, hidden_dim: int, obj_dim: int,
             "BatchNorm_1": {"scale": np.asarray(sd["union_boxes.conv.6.weight"]),
                             "bias": np.asarray(sd["union_boxes.conv.6.bias"])},
         }
-    return p
+        if "union_boxes.conv.2.running_mean" in sd:
+            stats["union_boxes"] = {
+                "BatchNorm_0": {
+                    "mean": np.asarray(sd["union_boxes.conv.2.running_mean"]),
+                    "var": np.asarray(sd["union_boxes.conv.2.running_var"])},
+                "BatchNorm_1": {
+                    "mean": np.asarray(sd["union_boxes.conv.6.running_mean"]),
+                    "var": np.asarray(sd["union_boxes.conv.6.running_var"])},
+            }
+    return p, stats
 
 
 def stage_transfer_fc(rel_params: dict, det_sd: dict) -> dict:

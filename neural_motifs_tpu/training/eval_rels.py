@@ -42,12 +42,17 @@ def main(argv=None):
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
     if cfg.ckpt:
         if cfg.ckpt.endswith((".tar", ".pth", ".pt")):
-            loaded = ckpt_lib.import_reference_rel_model(
+            loaded, loaded_stats = ckpt_lib.import_reference_rel_model(
                 cfg.ckpt, hidden_dim=cfg.hidden_dim, obj_dim=4096,
                 embed_dim=cfg.embed_dim, nl_obj=cfg.nl_obj, nl_edge=cfg.nl_edge,
                 pooling_dim=cfg.pooling_dim)
+            batch_stats = ckpt_lib.optimistic_restore(batch_stats, loaded_stats)
         else:
-            loaded = ckpt_lib.load_checkpoint(cfg.ckpt)["params"]
+            payload = ckpt_lib.load_checkpoint(cfg.ckpt)
+            loaded = payload["params"]
+            if payload.get("batch_stats"):
+                batch_stats = ckpt_lib.optimistic_restore(
+                    batch_stats, payload["batch_stats"])
         params = ckpt_lib.optimistic_restore(params, loaded)
 
     eval_fn = jax.jit(lambda p, bs, kw: model.apply(

@@ -20,7 +20,8 @@ from neural_motifs_tpu.training.losses import detector_losses
 from neural_motifs_tpu.training.train_state import (PlateauScheduler,
                                                     create_train_state,
                                                     make_optimizer,
-                                                    make_train_step)
+                                                    make_train_step,
+                                                    set_lr_scale)
 
 
 def batch_kwargs(batch) -> dict:
@@ -99,6 +100,7 @@ def main(argv=None):
 
     train_step = make_train_step(detector_losses, batch_kwargs)
     sched = PlateauScheduler()
+    base_scale = 1.0
     rng = jax.random.PRNGKey(7)
     for epoch in range(cfg.num_epochs):
         t0 = time.time()
@@ -113,7 +115,13 @@ def main(argv=None):
             ckpt_lib.save_checkpoint(f"{cfg.save_dir}/vg-{epoch}.mp", state)
         m = detection_map(model, state, val_loader, val)
         print(f"epoch {epoch}: mAP {m:.4f}")
-        sched.step(m)
+        scale = sched.step(m)
+        if scale != base_scale:
+            # apply the plateau drop (was a no-op in r1, ADVICE low):
+            # injected scale keeps SGD momentum across LR reductions
+            base_scale = scale
+            state = state.replace(
+                opt_state=set_lr_scale(state.opt_state, scale))
 
 
 if __name__ == "__main__":

