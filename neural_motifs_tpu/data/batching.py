@@ -101,41 +101,101 @@ def collate(entries: Sequence[dict], budgets: C.PadBudgets | None = None,
                  proposals=props, proposal_mask=prop_mask)
 
 
+def _load_chunk(dataset, chunk, budgets) -> Batch:
+    """Decode + collate one batch worth of entries (runs in a worker
+    process when num_workers > 1)."""
+    return collate([dataset[int(i)] for i in chunk], budgets)
+
+
+# Worker-process state: the dataset/budgets are shipped ONCE per worker via
+# the pool initializer (fork start method makes this nearly free) instead of
+# being pickled with every chunk.
+_WORKER_STATE: dict = {}
+
+
+def _pool_init(dataset, budgets, seed_base: int):
+    import os
+    _WORKER_STATE["dataset"] = dataset
+    _WORKER_STATE["budgets"] = budgets
+    # decorrelate per-worker augmentation randomness (flip/dup-rel sampling)
+    rng_attr = getattr(dataset, "rng", None)
+    if rng_attr is not None:
+        dataset.rng = np.random.RandomState(seed_base + os.getpid() % 100003)
+
+
+def _pool_load(chunk) -> Batch:
+    return _load_chunk(_WORKER_STATE["dataset"], chunk,
+                       _WORKER_STATE["budgets"])
+
+
 class Loader:
-    """Minimal epoch iterator producing padded Batches.
+    """Epoch iterator producing padded Batches.
 
     Replaces VGDataLoader (dataloaders/visual_genome.py:394-424). Image
     decode stays on host; everything else runs on device.
+
+    * num_workers > 1 uses a process pool for JPEG decode + collate (the
+      role of the reference's torch DataLoader worker processes) with
+      `prefetch` batches in flight.
+    * Multi-host: every process constructs the Loader with the same seed so
+      the global shuffle order agrees, and each host decodes only its
+      jax.process_index() slice of every global batch — the sharded
+      device_put then assembles the global array. batch_size is the GLOBAL
+      batch size.
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool,
                  budgets: C.PadBudgets | None = None, drop_last: bool = True,
-                 seed: int = 0, prefetch: int = 2):
+                 seed: int = 0, prefetch: int = 2, num_workers: int = 1,
+                 process_index: int | None = None,
+                 process_count: int | None = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.budgets = budgets or C.PadBudgets()
         self.drop_last = drop_last
         self.rng = np.random.RandomState(seed)
-        self.prefetch = prefetch
+        self.prefetch = max(prefetch, 1)
+        self.num_workers = num_workers
+        if process_index is None or process_count is None:
+            import jax
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        self.process_index = process_index
+        self.process_count = process_count
+        if batch_size % self.process_count:
+            raise ValueError(f"global batch {batch_size} not divisible by "
+                             f"{self.process_count} hosts")
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _batches(self):
+    def _chunks(self):
+        """Global order -> this host's slice of each global batch
+        (replaces Blob.scatter + image_offset, dataloaders/blob.py:148-180:
+        the per-host slice is by position, and 'which image' is just the
+        row index — no offset arithmetic)."""
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(idx)
+        per_host = self.batch_size // self.process_count
+        lo = self.process_index * per_host
         for s in range(0, len(idx) - (self.batch_size - 1 if self.drop_last else 0),
                        self.batch_size):
             chunk = idx[s:s + self.batch_size]
-            yield collate([self.dataset[int(i)] for i in chunk], self.budgets)
+            yield chunk[lo:lo + per_host]
+
+    def _batches(self):
+        for chunk in self._chunks():
+            yield _load_chunk(self.dataset, chunk, self.budgets)
 
     def __iter__(self):
-        """Background-thread prefetch: image decode + collate overlap the
-        device step (the role of the reference's dataloader worker
-        processes, dataloaders/blob.py rationale)."""
+        """Prefetched iteration: decode + collate overlap the device step.
+        num_workers=1 -> one background thread; >1 -> process pool."""
+        if self.num_workers > 1:
+            yield from self._iter_pool()
+            return
         if self.prefetch <= 0:
             yield from self._batches()
             return
@@ -159,6 +219,26 @@ class Loader:
             if item is sentinel:
                 break
             yield item
+
+    def _iter_pool(self):
+        """Process-pool decode: keeps `max(prefetch, num_workers)` batches
+        in flight, yields in order. The dataset ships once per worker via
+        the initializer."""
+        import collections
+        from concurrent.futures import ProcessPoolExecutor
+
+        window = max(self.prefetch, self.num_workers)
+        with ProcessPoolExecutor(
+                max_workers=self.num_workers, initializer=_pool_init,
+                initargs=(self.dataset, self.budgets,
+                          int(self.rng.randint(1 << 30)))) as pool:
+            pending: collections.deque = collections.deque()
+            for chunk in self._chunks():
+                pending.append(pool.submit(_pool_load, chunk))
+                if len(pending) >= window:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
 
     @classmethod
     def splits(cls, train_data, val_data, batch_size: int,

@@ -113,11 +113,16 @@ def load_graphs(graphs_file: str, mode: str, num_im: int = -1,
         split_mask[image_index] = True
 
         labels = h5["labels"][:, 0]
-        boxes_raw = h5[f"boxes_{C.BOX_SCALE}"][:].astype(np.float32)
+        boxes_raw = h5[f"boxes_{C.BOX_SCALE}"][:]
         assert np.all(boxes_raw[:, :2] >= 0) and np.all(boxes_raw[:, 2:] > 0)
-        # cx,cy,w,h -> x1,y1,x2,y2
+        # cx,cy,w,h -> x1,y1,x2,y2 IN THE NATIVE DTYPE: the h5 boxes are
+        # int32 and the reference's in-place assignment
+        # (visual_genome.py:314-316) truncates cx - w/2 to int for odd
+        # widths — keep that bug-compatible 0.5px truncation or GT boxes
+        # (and eval IoU matching) shift relative to the reference.
         boxes_raw[:, :2] = boxes_raw[:, :2] - boxes_raw[:, 2:] / 2
         boxes_raw[:, 2:] = boxes_raw[:, :2] + boxes_raw[:, 2:]
+        boxes_raw = boxes_raw.astype(np.float32)
 
         first_box = h5["img_to_first_box"][split_mask]
         last_box = h5["img_to_last_box"][split_mask]

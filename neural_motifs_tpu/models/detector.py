@@ -179,6 +179,8 @@ class ObjectDetector(nn.Module):
     max_per_img: int = 64
     thresh: float = 0.05
     use_resnet: bool = False
+    obj_dim: int = 4096     # RoI fc width (reference output_dim, fixed 4096
+                            # for VGG — parameterized here for small tests)
     dtype: Any = jnp.bfloat16
     budgets: C.PadBudgets = C.PadBudgets()
 
@@ -196,7 +198,7 @@ class ObjectDetector(nn.Module):
             self.roi_head = SELUHead(dtype=self.dtype)
         else:
             self.features = VGG16Features(dtype=self.dtype)
-            self.roi_head = VGGRoIHead(dtype=self.dtype)
+            self.roi_head = VGGRoIHead(dtype=self.dtype, fc_dim=self.obj_dim)
         self.score_fc = nn.Dense(self.num_classes, param_dtype=jnp.float32,
                                  dtype=jnp.float32)
         self.bbox_fc = nn.Dense(self.num_classes * 4, param_dtype=jnp.float32,

@@ -172,7 +172,8 @@ class RelModel(nn.Module):
         self.detector = ObjectDetector(
             num_classes=self.num_classes, mode=det_mode, thresh=self.thresh,
             max_per_img=self.budgets.objs_per_img, dtype=self.dtype,
-            use_resnet=self.use_resnet, budgets=self.budgets)
+            use_resnet=self.use_resnet, obj_dim=self.obj_dim,
+            budgets=self.budgets)
         ev = (self.embed_vecs if self.embed_vecs is not None
               else np.zeros((self.num_classes, self.embed_dim), np.float32))
         dev = (self.decoder_embed_vecs if self.decoder_embed_vecs is not None

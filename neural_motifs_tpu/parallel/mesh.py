@@ -53,7 +53,16 @@ def param_sharding(mesh: Mesh, params: Any, shard_fc: bool = False) -> Any:
 
 def shard_batch(batch, mesh: Mesh):
     """Device-put a host Batch (NamedTuple of numpy arrays) with the batch
-    axis split over DATA_AXIS."""
+    axis split over DATA_AXIS.
+
+    Single-host: plain sharded device_put. Multi-host: each process holds
+    only its local slice (Loader._chunks), and
+    make_array_from_process_local_data assembles the global array across
+    hosts — the SPMD replacement for Blob.scatter + image_offset."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        put = lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x))
+    else:
+        put = lambda x: jax.device_put(x, sh)
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sh) if x is not None else None, batch)
+        lambda x: put(x) if x is not None else None, batch)

@@ -33,7 +33,7 @@ def main(argv=None):
 
     model = build_model(cfg, train)
     loader = Loader(data, cfg.batch_size * cfg.num_devices, shuffle=False,
-                    budgets=cfg.budgets)
+                    budgets=cfg.budgets, num_workers=cfg.num_workers)
     example = next(iter(loader))
     variables = model.init({"params": jax.random.PRNGKey(0),
                             "sample": jax.random.PRNGKey(1),

@@ -82,7 +82,8 @@ def main(argv=None):
     mesh = make_mesh()
     global_batch = cfg.batch_size * cfg.num_devices
     train_loader, val_loader = Loader.splits(train, val, batch_size=global_batch,
-                                             budgets=cfg.budgets)
+                                             budgets=cfg.budgets,
+                                             num_workers=cfg.num_workers)
     model = ObjectDetector(num_classes=train.num_classes, mode="rpntrain",
                            dtype=jnp.dtype(cfg.compute_dtype),
                            budgets=cfg.budgets)

@@ -94,7 +94,8 @@ def main(argv=None):
     mesh = make_mesh()
     global_batch = cfg.batch_size * cfg.num_devices
     train_loader, val_loader = Loader.splits(train, val, batch_size=global_batch,
-                                             budgets=cfg.budgets)
+                                             budgets=cfg.budgets,
+                                             num_workers=cfg.num_workers)
     model = build_model(cfg, train)
 
     lr = cfg.lr * cfg.num_devices * cfg.batch_size

@@ -1,0 +1,312 @@
+"""END-TO-END forward parity: full RelModel (sgcls, eval) from raw images vs
+an independent torch/numpy composition of the reference pipeline
+(lib/object_detector.py gtbox path + lib/rel_model.py:450-547 +
+lib/get_union_boxes.py), sharing only a fabricated reference-layout state
+dict that flows through the real checkpoint importer.
+
+Head dims are shrunk (the layout transforms are dim-agnostic) but the VGG16
+conv stack, the 7x7 RoIAlign geometry, the 27x27 union masks, and the union
+conv net are at full structural fidelity. Images are 96x96 to keep the CPU
+cost sane.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from neural_motifs_tpu import config as C
+from neural_motifs_tpu.models.rel_model import RelModel, all_pair_indices
+from neural_motifs_tpu.training.checkpoint import (import_reference_rel_model,
+                                                   optimistic_restore)
+
+from tests import torch_reference as ref
+from tests.test_roi_align import np_crop_and_resize
+from tests.test_union_boxes import np_draw_union_boxes
+
+NC, NP = 12, 8
+OBJ_DIM = 128        # reference: 4096; layout transforms are dim-agnostic
+POOL_DIM = 128
+EMBED_DIM = 16
+HID = 24
+NL_OBJ, NL_EDGE = 2, 2
+IM = 96
+G = 8                # gt pad budget
+
+_VGG_IDX = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+_VGG_SHAPES = [(64, 3), (64, 64), (128, 64), (128, 128), (256, 128),
+               (256, 256), (256, 256), (512, 256), (512, 512), (512, 512),
+               (512, 512), (512, 512), (512, 512)]
+
+
+def lstm_flat_sizes(d_in, h, layers):
+    n = 0
+    for l in range(layers):
+        di = d_in if l == 0 else h
+        n += di * 6 * h + h * 5 * h
+    return n, layers * 5 * h
+
+
+def fabricate_full_sd(rng):
+    sd = {}
+
+    def lin(name, o, i, s=0.3):
+        sd[f"{name}.weight"] = (rng.randn(o, i) * s / np.sqrt(i)).astype(np.float32)
+        sd[f"{name}.bias"] = (rng.randn(o) * 0.05).astype(np.float32)
+
+    def conv(name, o, i, k, s=1.0):
+        sd[f"{name}.weight"] = (rng.randn(o, i, k, k) * s / np.sqrt(i * k * k)).astype(np.float32)
+        sd[f"{name}.bias"] = (rng.randn(o) * 0.05).astype(np.float32)
+
+    for idx, (o, i) in zip(_VGG_IDX, _VGG_SHAPES):
+        conv(f"detector.features.{idx}", o, i, 3, s=1.6)
+    lin("detector.roi_fmap.0", OBJ_DIM, 25088, s=1.0)
+    lin("detector.roi_fmap.3", OBJ_DIM, OBJ_DIM, s=1.0)
+    lin("detector.score_fc", NC, OBJ_DIM, s=6.0)
+    lin("detector.bbox_fc", NC * 4, OBJ_DIM)
+    conv("detector.rpn_head.conv.0", 512, 512, 3)
+    conv("detector.rpn_head.conv.2", 20 * 6, 512, 1)
+
+    lin("roi_fmap.1.0", OBJ_DIM, 25088, s=1.0)
+    lin("roi_fmap.1.3", POOL_DIM, OBJ_DIM, s=1.0)
+    lin("roi_fmap_obj.0", OBJ_DIM, 25088, s=1.0)
+    lin("roi_fmap_obj.3", OBJ_DIM, OBJ_DIM, s=1.0)
+
+    sd["context.obj_embed.weight"] = rng.randn(NC, EMBED_DIM).astype(np.float32)
+    sd["context.obj_embed2.weight"] = rng.randn(NC, EMBED_DIM).astype(np.float32)
+    sd["context.pos_embed.0.weight"] = (1 + 0.2 * rng.randn(4)).astype(np.float32)
+    sd["context.pos_embed.0.bias"] = (0.1 * rng.randn(4)).astype(np.float32)
+    sd["context.pos_embed.0.running_mean"] = (rng.randn(4) * 30).astype(np.float32)
+    sd["context.pos_embed.0.running_var"] = (np.abs(rng.randn(4)) * 20 + 1).astype(np.float32)
+    lin("context.pos_embed.1", 128, 4, s=1.0)
+
+    d_in_obj = OBJ_DIM + EMBED_DIM + 128
+    nw, nb = lstm_flat_sizes(d_in_obj, HID, NL_OBJ)
+    sd["context.obj_ctx_rnn.weight"] = (rng.randn(nw) * 0.05).astype(np.float32)
+    sd["context.obj_ctx_rnn.bias"] = (rng.randn(nb) * 0.05).astype(np.float32)
+
+    sd["context.decoder_rnn.obj_embed.weight"] = rng.randn(NC + 1, 100).astype(np.float32)
+    lin("context.decoder_rnn.input_linearity", 6 * HID, HID + 100, s=1.0)
+    lin("context.decoder_rnn.state_linearity", 5 * HID, HID, s=1.0)
+    lin("context.decoder_rnn.out", NC, HID, s=3.0)
+
+    e_in = EMBED_DIM + HID
+    nw, nb = lstm_flat_sizes(e_in, HID, NL_EDGE)
+    sd["context.edge_ctx_rnn.weight"] = (rng.randn(nw) * 0.1).astype(np.float32)
+    sd["context.edge_ctx_rnn.bias"] = (rng.randn(nb) * 0.05).astype(np.float32)
+
+    conv("union_boxes.conv.0", 256, 2, 7, s=2.0)
+    for m, d in ((2, 256), (6, 512)):
+        sd[f"union_boxes.conv.{m}.weight"] = (1 + 0.1 * rng.randn(d)).astype(np.float32)
+        sd[f"union_boxes.conv.{m}.bias"] = (0.1 * rng.randn(d)).astype(np.float32)
+        sd[f"union_boxes.conv.{m}.running_mean"] = (0.3 * rng.randn(d)).astype(np.float32)
+        sd[f"union_boxes.conv.{m}.running_var"] = (np.abs(rng.randn(d)) * 0.5 + 0.5).astype(np.float32)
+    conv("union_boxes.conv.4", 512, 256, 3, s=2.0)
+
+    lin("post_lstm", POOL_DIM * 2, HID, s=2.0)
+    lin("rel_compress", NP, POOL_DIM, s=3.0)
+    sd["freq_bias.obj_baseline.weight"] = rng.randn(NC * NC, NP).astype(np.float32)
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# Torch-side oracle pieces
+# ---------------------------------------------------------------------------
+
+def torch_vgg_features(sd, img_hwc):
+    """VGG16 conv stack, last maxpool removed (object_detector.py:78-82,
+    load_vgg at :623-633): conv3x3(pad 1)+relu per entry, maxpool2 at 'M'."""
+    import torch
+    import torch.nn.functional as F
+
+    cfg = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512)
+    x = torch.tensor(img_hwc.transpose(2, 0, 1)[None])  # NCHW
+    ci = 0
+    with torch.no_grad():
+        for v in cfg:
+            if v == "M":
+                x = F.max_pool2d(x, 2, 2)
+            else:
+                idx = _VGG_IDX[ci]
+                w = torch.tensor(sd[f"detector.features.{idx}.weight"])
+                b = torch.tensor(sd[f"detector.features.{idx}.bias"])
+                x = F.relu(F.conv2d(x, w, b, padding=1))
+                ci += 1
+    return x.numpy()[0].transpose(1, 2, 0)  # HWC
+
+
+def oracle_roi_pool_flat(fmap_hwc, boxes):
+    """RoIAlign 7x7 then torch-order (C,H,W) flatten per roi."""
+    out = []
+    for bx in boxes:
+        p = np_crop_and_resize(fmap_hwc, bx, 7, 1.0 / 16)   # [7,7,C]
+        out.append(p.transpose(2, 0, 1).reshape(-1))
+    return np.stack(out)
+
+
+def torch_union_conv(sd, masks):
+    """Union mask conv net in eval mode (get_union_boxes.py:31-39):
+    conv7x7/2 -> ReLU -> BN -> maxpool3/2 -> conv3x3 -> ReLU -> BN."""
+    import torch
+    import torch.nn.functional as F
+
+    x = torch.tensor(masks)  # [P, 2, 27, 27]
+    with torch.no_grad():
+        x = F.conv2d(x, torch.tensor(sd["union_boxes.conv.0.weight"]),
+                     torch.tensor(sd["union_boxes.conv.0.bias"]),
+                     stride=2, padding=3)
+        x = F.relu(x)
+        x = F.batch_norm(x, torch.tensor(sd["union_boxes.conv.2.running_mean"]),
+                         torch.tensor(sd["union_boxes.conv.2.running_var"]),
+                         torch.tensor(sd["union_boxes.conv.2.weight"]),
+                         torch.tensor(sd["union_boxes.conv.2.bias"]),
+                         training=False)
+        x = F.max_pool2d(x, 3, 2, padding=1)
+        x = F.conv2d(x, torch.tensor(sd["union_boxes.conv.4.weight"]),
+                     torch.tensor(sd["union_boxes.conv.4.bias"]), padding=1)
+        x = F.relu(x)
+        x = F.batch_norm(x, torch.tensor(sd["union_boxes.conv.6.running_mean"]),
+                         torch.tensor(sd["union_boxes.conv.6.running_var"]),
+                         torch.tensor(sd["union_boxes.conv.6.weight"]),
+                         torch.tensor(sd["union_boxes.conv.6.bias"]),
+                         training=False)
+    return x.numpy()  # [P, 512, 7, 7]
+
+
+def oracle_sgcls_image(sd, img_hwc, boxes):
+    """Full reference pipeline for one image (gtbox mode, eval): returns
+    (obj_dists2, obj_preds, obj_scores, rel map {(s,o): rel_dists})."""
+    fmap = torch_vgg_features(sd, img_hwc)
+
+    # detector classification of GT rois (object_detector.py:299-303)
+    det_pool = oracle_roi_pool_flat(fmap, boxes)
+    det_feat = ref.np_obj_tower(
+        {"roi_fmap_obj.0.weight": sd["detector.roi_fmap.0.weight"],
+         "roi_fmap_obj.0.bias": sd["detector.roi_fmap.0.bias"],
+         "roi_fmap_obj.3.weight": sd["detector.roi_fmap.3.weight"],
+         "roi_fmap_obj.3.bias": sd["detector.roi_fmap.3.bias"]}, det_pool)
+    obj_logits = ref.np_linear(det_feat, sd["detector.score_fc.weight"],
+                               sd["detector.score_fc.bias"])
+
+    # rel model obj tower (rel_model.py:439-448)
+    obj_fmap = ref.np_obj_tower(sd, det_pool)
+
+    obj_dists2, obj_preds, edge_ctx = ref.np_context_sgcls(
+        sd, obj_fmap, obj_logits, boxes, None, order="leftright",
+        nl_obj=NL_OBJ, nl_edge=NL_EDGE, hidden_dim=HID, obj_dim=OBJ_DIM,
+        embed_dim=EMBED_DIM)
+
+    # all ordered pairs (get_rel_inds eval, rel_model.py:420-437)
+    n = len(boxes)
+    pairs = np.array([(i, j) for i in range(n) for j in range(n) if i != j])
+
+    # union visual features (visual_rep, rel_model.py:403-414)
+    sub_b, obj_b = boxes[pairs[:, 0]], boxes[pairs[:, 1]]
+    union = np.concatenate([np.minimum(sub_b[:, :2], obj_b[:, :2]),
+                            np.maximum(sub_b[:, 2:], obj_b[:, 2:])], 1)
+    upool = oracle_roi_pool_flat(fmap, union).reshape(-1, 512, 7, 7)
+    masks = np_draw_union_boxes(
+        np.concatenate([sub_b, obj_b], 1).astype(np.float32), 27) - 0.5
+    uconv = torch_union_conv(sd, masks)
+    u = (upool + uconv).reshape(len(pairs), -1)
+    vr = ref.np_union_tower(sd, u, pooling_dim=POOL_DIM)
+
+    rel_dists = ref.np_rel_head(sd, edge_ctx, obj_preds, pairs, vr,
+                                pooling_dim=POOL_DIM, num_classes=NC,
+                                use_vision=True, limit_vision=False,
+                                use_tanh=False, use_bias=True)
+    obj_scores = ref.np_softmax(obj_dists2, -1)[np.arange(n), obj_preds]
+    relmap = {(int(s), int(o)): rel_dists[k]
+              for k, (s, o) in enumerate(pairs)}
+    return obj_dists2, obj_preds, obj_scores, relmap
+
+
+def test_relmodel_sgcls_end_to_end_parity(rng):
+    sd = fabricate_full_sd(rng)
+
+    b = 2
+    valid_counts = (4, 3)
+    images = np.zeros((b, IM, IM, 3), np.float32)
+    images[:] = (rng.randn(b, IM, IM, 3) * 0.4).astype(np.float32)
+    gt_boxes = np.zeros((b, G, 4), np.float32)
+    gt_classes = np.zeros((b, G), np.int32)
+    gt_mask = np.zeros((b, G), bool)
+    for i, n in enumerate(valid_counts):
+        xy = rng.uniform(0, IM * 0.5, (n, 2))
+        wh = rng.uniform(12, IM * 0.45, (n, 2))
+        gt_boxes[i, :n] = np.concatenate([xy, np.minimum(xy + wh, IM - 1)], 1)
+        gt_classes[i, :n] = rng.randint(1, NC, n)
+        gt_mask[i, :n] = True
+    im_hw = np.full((b, 2), float(IM), np.float32)
+
+    budgets = C.PadBudgets(max_gt_boxes=G, max_gt_rels=8, rels_per_img=16,
+                           max_pairs_eval=G * (G - 1))
+    r7 = np.random.RandomState(7)
+    model = RelModel(
+        num_classes=NC, num_rels=NP, mode="sgcls", budgets=budgets,
+        dtype=jnp.float32, hidden_dim=HID, pooling_dim=POOL_DIM,
+        obj_dim=OBJ_DIM, embed_dim=EMBED_DIM, nl_obj=NL_OBJ, nl_edge=NL_EDGE,
+        order="leftright", use_bias=True, use_tanh=False, limit_vision=False,
+        pass_in_obj_feats_to_decoder=False, pass_in_obj_feats_to_edge=False,
+        embed_vecs=r7.randn(NC, EMBED_DIM).astype(np.float32),
+        decoder_embed_vecs=r7.randn(NC + 1, 100).astype(np.float32),
+        freq_table=r7.randn(NC * NC, NP).astype(np.float32))
+
+    kw = dict(images=jnp.asarray(images), im_hw=jnp.asarray(im_hw),
+              gt_boxes=jnp.asarray(gt_boxes),
+              gt_classes=jnp.asarray(gt_classes), gt_mask=jnp.asarray(gt_mask),
+              gt_rels=jnp.zeros((b, 8, 3), jnp.int32),
+              gt_rel_mask=jnp.zeros((b, 8), bool))
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, train=True, **kw)
+
+    imported, imported_stats = import_reference_rel_model(
+        sd, hidden_dim=HID, obj_dim=OBJ_DIM, embed_dim=EMBED_DIM,
+        nl_obj=NL_OBJ, nl_edge=NL_EDGE, pooling_dim=POOL_DIM,
+        pass_in_obj_feats_to_decoder=False, pass_in_obj_feats_to_edge=False)
+    # strict: every imported leaf must land (a silent shape mismatch would
+    # leave random-init weights and void the parity claim)
+    from flax.traverse_util import flatten_dict
+    tgt = flatten_dict(variables["params"], sep="/")
+    # gtbox mode never calls the RPN head or bbox_fc, so those imported
+    # leaves have no targets — everything else must land exactly
+    unused = ("detector/rpn_head/", "detector/bbox_fc/")
+    for k, v in flatten_dict(imported, sep="/").items():
+        if k.startswith(unused):
+            continue
+        assert k in tgt and tuple(np.shape(v)) == tuple(tgt[k].shape), \
+            f"importer leaf {k} {np.shape(v)} does not land on model tree"
+    params = optimistic_restore(variables["params"], imported, verbose=False)
+    batch_stats = optimistic_restore(variables["batch_stats"], imported_stats,
+                                     verbose=False)
+
+    pred = model.apply({"params": params, "batch_stats": batch_stats},
+                       train=False, rngs={"sample": jax.random.PRNGKey(0)},
+                       **kw)
+
+    for i in range(b):
+        n = valid_counts[i]
+        exp_dists, exp_preds, exp_scores, exp_rel = oracle_sgcls_image(
+            sd, images[i], gt_boxes[i, :n])
+        np.testing.assert_array_equal(np.asarray(pred.obj_classes)[i, :n],
+                                      exp_preds)
+        np.testing.assert_allclose(np.asarray(pred.obj_scores)[i, :n],
+                                   exp_scores, rtol=1e-3, atol=1e-4)
+        # reconstruct per-pair rel dists from the sorted prediction
+        rinds = np.asarray(pred.rel_inds)[i]
+        rscores = np.asarray(pred.rel_scores)[i]
+        rvalid = np.asarray(pred.rel_valid)[i]
+        got = {(int(s), int(o)): rscores[k]
+               for k, (s, o) in enumerate(rinds) if rvalid[k]}
+        assert set(got) == set(exp_rel), "pair sets differ"
+        for so, dists in exp_rel.items():
+            np.testing.assert_allclose(got[so], ref.np_softmax(dists, -1),
+                                       rtol=2e-3, atol=2e-4,
+                                       err_msg=f"pair {so}")
+        # triplet-score sort sanity (surgery.py:21-59)
+        max_rel = rscores[rvalid][:, 1:].max(-1)
+        oscore = np.asarray(pred.obj_scores)[i]
+        trip = max_rel * oscore[rinds[rvalid][:, 0]] * oscore[rinds[rvalid][:, 1]]
+        assert np.all(np.diff(trip) <= 1e-6)
