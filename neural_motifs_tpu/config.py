@@ -140,7 +140,7 @@ class ModelConfig:
     # model topology
     use_resnet: bool = False
     use_proposals: bool = False
-    gt_box: bool = False
+    gt_box: bool = False   # dead in the reference too (config.py:80,180)
     order: str = "confidence"           # confidence | size | random | leftright
     nl_obj: int = 1
     nl_edge: int = 2
@@ -154,6 +154,8 @@ class ModelConfig:
     use_tanh: bool = False
     limit_vision: bool = False
     multi_pred: bool = False
+    # parsed-but-dead in the REFERENCE as well (config.py:80,95,175,180 —
+    # nothing consumes them there); kept for argparse-surface parity only
     old_feats: bool = False
 
     # TPU knobs

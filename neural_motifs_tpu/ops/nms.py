@@ -16,6 +16,8 @@ one masked [N, N] reduction — pure VPU work, no host round-trip.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -25,6 +27,16 @@ from neural_motifs_tpu.ops.boxes import bbox_overlaps
 Array = jax.Array
 
 NEG_INF = -1e10
+
+
+def use_pallas_nms() -> bool:
+    """Route multi-lane NMS through the fused Pallas kernel
+    (ops/pallas_nms.py) on TPU. Default ON on TPU backends; override with
+    NM_PALLAS_NMS=0/1."""
+    env = os.environ.get("NM_PALLAS_NMS")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    return jax.default_backend() == "tpu"
 
 
 def _fixpoint_alive(sup: Array, v: Array, max_iters: int) -> Array:
@@ -168,10 +180,23 @@ def per_class_nms_mask(boxes_per_cls: Array, probs: Array, valid: Array,
             jnp.moveaxis(boxes_per_cls, 1, 0),              # [C, N, 4]
             top_i[..., None], axis=1)                       # [C, K, 4]
 
-        def one_class(bck, pck):
-            return greedy_nms_mask(bck, pck, pck >= 0.0, iou_thresh)
+        if use_pallas_nms():
+            # fused VMEM kernel: all C classes as kernel grid lanes
+            # (interpret mode off-TPU so NM_PALLAS_NMS=1 is testable on CPU).
+            # The keep mask is a discrete decision — stop_gradient the
+            # inputs so autodiff (sgdet training) never tries to linearize
+            # through the pallas_call, matching the (gradient-free)
+            # semantics of the XLA fixpoint path.
+            from neural_motifs_tpu.ops.pallas_nms import pallas_greedy_nms
+            keep_k = pallas_greedy_nms(
+                lax.stop_gradient(bc), lax.stop_gradient(top_p),
+                lax.stop_gradient(top_p >= 0.0), iou_thresh,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            def one_class(bck, pck):
+                return greedy_nms_mask(bck, pck, pck >= 0.0, iou_thresh)
 
-        keep_k = jax.vmap(one_class)(bc, top_p)             # [C, K]
+            keep_k = jax.vmap(one_class)(bc, top_p)         # [C, K]
         keep = jnp.zeros((c, n), bool)
         keep = jax.vmap(lambda row, idx, kk: row.at[idx].set(kk))(
             keep, top_i, keep_k)

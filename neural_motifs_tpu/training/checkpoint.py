@@ -25,12 +25,22 @@ from flax import serialization
 from flax.traverse_util import flatten_dict, unflatten_dict
 
 
-def save_checkpoint(path: str, state, extra: dict | None = None):
+def save_checkpoint(path: str, state, extra: dict | None = None,
+                    with_opt: bool = True, sched=None):
+    """Save params + batch_stats + (by default) the FULL optimizer state and
+    plateau-scheduler state, so training resumes exactly where it stopped —
+    the reference never checkpoints optimizer state (train_rels.py:200
+    comments it out) and cannot resume mid-schedule."""
     payload = {
         "step": int(state.step),
         "params": jax.device_get(state.params),
         "batch_stats": jax.device_get(state.batch_stats),
     }
+    if with_opt and getattr(state, "opt_state", None) is not None:
+        payload["opt_state"] = serialization.to_state_dict(
+            jax.device_get(state.opt_state))
+    if sched is not None:
+        payload["sched"] = sched.state_dict()
     if extra:
         payload.update(extra)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -41,6 +51,25 @@ def save_checkpoint(path: str, state, extra: dict | None = None):
 def load_checkpoint(path: str) -> dict:
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
+
+
+def restore_train_state(payload: dict, state, sched=None):
+    """Exact-resume: restore params/batch_stats/step and — when present —
+    the optimizer state (momentum + injected lr scale) and scheduler. The
+    current state's opt_state acts as the structure template."""
+    import jax.numpy as jnp
+
+    new = state.replace(
+        params=optimistic_restore(state.params, payload["params"]),
+        batch_stats=optimistic_restore(state.batch_stats,
+                                       payload.get("batch_stats") or {}),
+        step=jnp.asarray(payload.get("step", 0), jnp.int32))
+    if payload.get("opt_state") is not None:
+        new = new.replace(opt_state=serialization.from_state_dict(
+            state.opt_state, payload["opt_state"]))
+    if sched is not None and payload.get("sched") is not None:
+        sched.load_state_dict(payload["sched"])
+    return new
 
 
 def optimistic_restore(params: Any, loaded: Any, verbose: bool = True) -> Any:
@@ -113,6 +142,60 @@ def import_torchvision_vgg16(state_dict: dict) -> tuple[dict, dict]:
                 "bias": np.asarray(state_dict["classifier.3.bias"])},
     }
     return feats, cls
+
+
+_RESNET101_BLOCKS = {"layer1": 3, "layer2": 4, "layer3": 23, "layer4": 3}
+
+
+def _bn_import(sd, prefix):
+    p = {"scale": np.asarray(sd[f"{prefix}.weight"]),
+         "bias": np.asarray(sd[f"{prefix}.bias"])}
+    s = {"mean": np.asarray(sd[f"{prefix}.running_mean"]),
+         "var": np.asarray(sd[f"{prefix}.running_var"])}
+    return p, s
+
+
+def import_torchvision_resnet101(state_dict: dict) -> tuple[dict, dict, dict, dict]:
+    """torchvision resnet101 state_dict -> flax trees for the C4 trunk
+    (models/resnet.py ResNet101C4) and the layer4 RoI head (ResNetRoIHead).
+
+    Returns (trunk_params, trunk_stats, head_params, head_stats). The
+    reference's deprecated ResNet path (lib/resnet.py, lib/object_detector.
+    py:84-100) loads torchvision weights the same way (resnet101
+    pretrained=True with layer4 split off)."""
+    def layer_tree(layer):
+        params: dict = {}
+        stats: dict = {}
+        for b in range(_RESNET101_BLOCKS[layer]):
+            bp: dict = {}
+            bs: dict = {}
+            for ci in (1, 2, 3):
+                bp[f"conv{ci}"] = {"kernel": _conv_t(
+                    state_dict[f"{layer}.{b}.conv{ci}.weight"])}
+                bnp, bns = _bn_import(state_dict, f"{layer}.{b}.bn{ci}")
+                bp[f"bn{ci}"] = bnp
+                bs[f"bn{ci}"] = bns
+            if b == 0:
+                bp["down_conv"] = {"kernel": _conv_t(
+                    state_dict[f"{layer}.0.downsample.0.weight"])}
+                bnp, bns = _bn_import(state_dict, f"{layer}.0.downsample.1")
+                bp["down_bn"] = bnp
+                bs["down_bn"] = bns
+            params[f"block{b}"] = bp
+            stats[f"block{b}"] = bs
+        return params, stats
+
+    trunk_p: dict = {"conv1": {"kernel": _conv_t(state_dict["conv1.weight"])}}
+    trunk_s: dict = {}
+    bnp, bns = _bn_import(state_dict, "bn1")
+    trunk_p["bn1"] = bnp
+    trunk_s["bn1"] = bns
+    for layer in ("layer1", "layer2", "layer3"):
+        lp, ls = layer_tree(layer)
+        trunk_p[layer] = lp
+        trunk_s[layer] = ls
+    hp, hs = layer_tree("layer4")
+    return trunk_p, trunk_s, {"layer4": hp}, {"layer4": hs}
 
 
 def _torch_load(path: str) -> dict:

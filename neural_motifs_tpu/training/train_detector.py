@@ -92,16 +92,21 @@ def main(argv=None):
     example = next(iter(train_loader))
     state = create_train_state(model, jax.random.PRNGKey(0),
                                batch_kwargs(example), tx)
+    sched = PlateauScheduler()
     if cfg.ckpt:
-        loaded = (ckpt_lib.import_reference_detector(cfg.ckpt)
-                  if cfg.ckpt.endswith((".tar", ".pth", ".pt"))
-                  else ckpt_lib.load_checkpoint(cfg.ckpt)["params"])
-        state = state.replace(params=ckpt_lib.optimistic_restore(state.params,
-                                                                 loaded))
+        if cfg.ckpt.endswith((".tar", ".pth", ".pt")):
+            loaded = ckpt_lib.import_reference_detector(cfg.ckpt)
+            state = state.replace(
+                params=ckpt_lib.optimistic_restore(state.params, loaded))
+        else:
+            payload = ckpt_lib.load_checkpoint(cfg.ckpt)
+            state = ckpt_lib.restore_train_state(payload, state, sched)
 
     train_step = make_train_step(detector_losses, batch_kwargs)
-    sched = PlateauScheduler()
-    base_scale = 1.0
+    base_scale = sched.scale
+    if base_scale != 1.0:
+        state = state.replace(opt_state=set_lr_scale(state.opt_state,
+                                                     base_scale))
     rng = jax.random.PRNGKey(7)
     for epoch in range(cfg.num_epochs):
         t0 = time.time()
@@ -113,7 +118,8 @@ def main(argv=None):
                 print(f"e{epoch}b{bi} {dt:.3f}s/b "
                       f"{ {k: float(v) for k, v in losses.items()} }", flush=True)
         if cfg.save_dir:
-            ckpt_lib.save_checkpoint(f"{cfg.save_dir}/vg-{epoch}.mp", state)
+            ckpt_lib.save_checkpoint(f"{cfg.save_dir}/vg-{epoch}.mp", state,
+                                     sched=sched)
         m = detection_map(model, state, val_loader, val)
         print(f"epoch {epoch}: mAP {m:.4f}")
         scale = sched.step(m)

@@ -105,6 +105,7 @@ def main(argv=None):
     example = next(iter(train_loader))
     state = create_train_state(model, rng, batch_kwargs(example), tx)
 
+    sched = PlateauScheduler()
     if cfg.ckpt:
         if cfg.ckpt.endswith((".tar", ".pth", ".pt")):
             loaded, loaded_stats = ckpt_lib.import_reference_rel_model(
@@ -118,9 +119,10 @@ def main(argv=None):
                 batch_stats=ckpt_lib.optimistic_restore(
                     state.batch_stats, loaded_stats))
         else:
+            # our own checkpoint: exact resume (optimizer momentum, injected
+            # lr scale, scheduler, step) when the payload carries them
             payload = ckpt_lib.load_checkpoint(cfg.ckpt)
-            state = state.replace(params=ckpt_lib.optimistic_restore(
-                state.params, payload["params"]))
+            state = ckpt_lib.restore_train_state(payload, state, sched)
 
     from neural_motifs_tpu.utils.observe import print_para
     print_para(state.params)
@@ -129,8 +131,10 @@ def main(argv=None):
         {"params": params, "batch_stats": bs}, train=False,
         rngs={"sample": jax.random.PRNGKey(0)}, **kw))
 
-    sched = PlateauScheduler()
-    base_scale = 1.0
+    base_scale = sched.scale
+    if base_scale != 1.0:   # resumed mid-schedule: re-inject the lr scale
+        state = state.replace(opt_state=set_lr_scale(state.opt_state,
+                                                     base_scale))
     step_rng = jax.random.PRNGKey(42)
     for epoch in range(cfg.num_epochs):
         t0 = time.time()
@@ -147,7 +151,8 @@ def main(argv=None):
                       f"{dt * len(train_loader) / 60:.1f}m/epoch  {mean}",
                       flush=True)
         if cfg.save_dir:
-            ckpt_lib.save_checkpoint(f"{cfg.save_dir}/vgrel-{epoch}.mp", state)
+            ckpt_lib.save_checkpoint(f"{cfg.save_dir}/vgrel-{epoch}.mp", state,
+                                     sched=sched)
         r100 = val_epoch(model, state, val_loader, val, cfg, eval_fn)
         scale = sched.step(r100)
         if scale != base_scale:

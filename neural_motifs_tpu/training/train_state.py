@@ -176,3 +176,13 @@ class PlateauScheduler:
                 self.num_bad = 0
                 self.cool = self.cooldown
         return self.scale
+
+    def state_dict(self) -> dict:
+        return {"best": self.best, "num_bad": self.num_bad,
+                "cool": self.cool, "scale": self.scale}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.best = float(d["best"])
+        self.num_bad = int(d["num_bad"])
+        self.cool = int(d["cool"])
+        self.scale = float(d["scale"])

@@ -99,3 +99,135 @@ def test_save_load_roundtrip(tmp_path):
     assert loaded["step"] == 3
     np.testing.assert_array_equal(loaded["params"]["w"],
                                   np.arange(6.0).reshape(2, 3))
+
+
+def test_exact_resume_reproduces_uninterrupted_run(tmp_path):
+    """Kill-and-resume (VERDICT r1 item 9): save the FULL train state
+    (params, batch_stats, optimizer momentum, injected lr scale, scheduler,
+    step) mid-run, restore into a fresh state, and the continued run must
+    equal the uninterrupted one bit-for-bit-ish."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _tiny_setup
+    from neural_motifs_tpu.training.checkpoint import (load_checkpoint,
+                                                       restore_train_state,
+                                                       save_checkpoint)
+    from neural_motifs_tpu.training.losses import rel_losses
+    from neural_motifs_tpu.training.train_state import (PlateauScheduler,
+                                                        create_train_state,
+                                                        make_optimizer,
+                                                        make_train_step,
+                                                        set_lr_scale)
+
+    model, batch = _tiny_setup(num_images=2)
+    tx = make_optimizer(1e-2, fc_lr_factor=0.1, freeze_detector=True)
+    state = create_train_state(model, jax.random.PRNGKey(0), batch, tx)
+    step = make_train_step(rel_losses, lambda b: b, donate=False)
+    rng = jax.random.PRNGKey(5)
+
+    sched = PlateauScheduler(patience=0, factor=0.5, cooldown=0)
+    sched.step(1.0)
+    sched.step(0.5)  # plateau fires -> scale 0.5
+    assert sched.scale == 0.5
+    state = state.replace(opt_state=set_lr_scale(state.opt_state, sched.scale))
+
+    # uninterrupted: 4 steps
+    s_ref = state
+    for _ in range(4):
+        s_ref, _ = step(s_ref, batch, rng)
+
+    # interrupted: 2 steps, save, fresh state, restore, 2 more steps
+    s_a = state
+    for _ in range(2):
+        s_a, _ = step(s_a, batch, rng)
+    path = str(tmp_path / "ck.mp")
+    save_checkpoint(path, s_a, sched=sched)
+
+    fresh = create_train_state(model, jax.random.PRNGKey(9), batch, tx)
+    sched2 = PlateauScheduler(patience=0, factor=0.5, cooldown=0)
+    s_b = restore_train_state(load_checkpoint(path), fresh, sched2)
+    assert int(s_b.step) == 2
+    assert sched2.scale == 0.5 and sched2.best == sched.best
+    for _ in range(2):
+        s_b, _ = step(s_b, batch, rng)
+
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.params),
+                    jax.tree_util.tree_leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    # momentum buffers must match too (proves opt_state round-tripped)
+    for a, b in zip(jax.tree_util.tree_leaves(s_ref.opt_state),
+                    jax.tree_util.tree_leaves(s_b.opt_state)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_import_torchvision_resnet101_shapes():
+    """The torchvision resnet101 importer must cover the ResNet101C4 trunk
+    and the layer4 RoI head param/batch_stats trees exactly (VERDICT r1
+    item 10: the use_resnet path is unusable without pretrained import)."""
+    import jax
+    import jax.numpy as jnp
+    from flax.traverse_util import flatten_dict
+
+    from neural_motifs_tpu.models.resnet import ResNet101C4, ResNetRoIHead
+    from neural_motifs_tpu.training.checkpoint import (
+        import_torchvision_resnet101)
+
+    rng = np.random.RandomState(0)
+    sd = {}
+
+    def conv(name, o, i, k):
+        sd[f"{name}.weight"] = rng.randn(o, i, k, k).astype(np.float32)
+
+    def bn(name, c):
+        for suffix in ("weight", "bias", "running_mean", "running_var"):
+            sd[f"{name}.{suffix}"] = np.abs(rng.randn(c)).astype(np.float32)
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    blocks = {"layer1": (3, 64, 64), "layer2": (4, 128, 256),
+              "layer3": (23, 256, 512), "layer4": (3, 512, 1024)}
+    for layer, (nb, planes, c_in0) in blocks.items():
+        c_in = c_in0
+        for b in range(nb):
+            conv(f"{layer}.{b}.conv1", planes, c_in, 1)
+            bn(f"{layer}.{b}.bn1", planes)
+            conv(f"{layer}.{b}.conv2", planes, planes, 3)
+            bn(f"{layer}.{b}.bn2", planes)
+            conv(f"{layer}.{b}.conv3", planes * 4, planes, 1)
+            bn(f"{layer}.{b}.bn3", planes * 4)
+            if b == 0:
+                conv(f"{layer}.0.downsample.0", planes * 4, c_in, 1)
+                bn(f"{layer}.0.downsample.1", planes * 4)
+            c_in = planes * 4
+
+    trunk_p, trunk_s, head_p, head_s = import_torchvision_resnet101(sd)
+
+    trunk = ResNet101C4(dtype=jnp.float32)
+    shapes = jax.eval_shape(
+        lambda: trunk.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3))))
+    for got, want, tag in ((trunk_p, shapes["params"], "params"),
+                           (trunk_s, shapes["batch_stats"], "stats")):
+        fg = flatten_dict(got, sep="/")
+        fw = flatten_dict(want, sep="/")
+        assert set(fg) == set(fw), (
+            f"trunk {tag}: extra {sorted(set(fg) - set(fw))[:4]} "
+            f"missing {sorted(set(fw) - set(fg))[:4]}")
+        for k in fg:
+            assert tuple(np.shape(fg[k])) == tuple(fw[k].shape), \
+                f"trunk {tag} {k}: {np.shape(fg[k])} vs {fw[k].shape}"
+
+    head = ResNetRoIHead(dtype=jnp.float32)
+    hshapes = jax.eval_shape(
+        lambda: head.init(jax.random.PRNGKey(0), jnp.zeros((2, 7, 7, 1024))))
+    for got, want, tag in ((head_p, hshapes["params"], "params"),
+                           (head_s, hshapes["batch_stats"], "stats")):
+        fg = flatten_dict(got, sep="/")
+        fw = flatten_dict(want, sep="/")
+        assert set(fg) == set(fw), (
+            f"head {tag}: extra {sorted(set(fg) - set(fw))[:4]} "
+            f"missing {sorted(set(fw) - set(fg))[:4]}")
+        for k in fg:
+            assert tuple(np.shape(fg[k])) == tuple(fw[k].shape)

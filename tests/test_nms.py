@@ -114,3 +114,28 @@ def test_per_class_topk_matches_exact(rng):
         p_ci = np.where(valid, probs[:, ci], -1)
         topk = np.argsort(-p_ci)[:K]
         np.testing.assert_array_equal(fast[topk, ci], exact[topk, ci])
+
+
+def test_per_class_nms_pallas_route_matches_xla(rng, monkeypatch):
+    """The Pallas per-class NMS route (ops/pallas_nms.py, grid lanes =
+    classes) must be bit-identical to the XLA fixpoint route."""
+    import neural_motifs_tpu.ops.nms as nms_mod
+
+    n, c = 96, 7
+    boxes_per_cls = np.zeros((n, c, 4), np.float32)
+    base = rng.uniform(0, 300, (n, 1, 2))
+    wh = rng.uniform(20, 120, (n, 1, 2))
+    jit_ = rng.uniform(-6, 6, (n, c, 4))
+    boxes_per_cls[..., :2] = base + jit_[..., :2]
+    boxes_per_cls[..., 2:] = base + wh + jit_[..., 2:]
+    probs = rng.uniform(0, 1, (n, c)).astype(np.float32)
+    valid = rng.rand(n) > 0.2
+
+    kw = dict(iou_thresh=0.3, score_thresh=0.01, per_class_topk=64)
+    monkeypatch.setenv("NM_PALLAS_NMS", "0")
+    keep_xla = np.asarray(nms_mod.per_class_nms_mask(
+        jnp.asarray(boxes_per_cls), jnp.asarray(probs), jnp.asarray(valid), **kw))
+    monkeypatch.setenv("NM_PALLAS_NMS", "1")
+    keep_pl = np.asarray(nms_mod.per_class_nms_mask(
+        jnp.asarray(boxes_per_cls), jnp.asarray(probs), jnp.asarray(valid), **kw))
+    np.testing.assert_array_equal(keep_xla, keep_pl)

@@ -71,21 +71,38 @@ def main(mode="sgcls", batch=6, iters=8):
     step = make_train_step(rel_losses, lambda b: b, donate=True)
     key = jax.random.PRNGKey(1)
 
+    # Device-resident input buffers, cycled: measures the train STEP, not
+    # the host->device tunnel transfer (in real training the loader
+    # prefetch + async dispatch overlap the transfer with compute).
+    dbufs = []
+    for k in range(2):
+        ba = dict(batch_arrays)
+        ba["images"] = batch_arrays["images"] + 0.01 * k
+        dbufs.append({kk: jax.device_put(jnp.asarray(v))
+                      for kk, v in ba.items()})
+
     t0 = time.time()
-    state, m = step(state, batch_arrays, key)
+    state, m = step(state, dbufs[0], key)
     _ = float(m["total"])  # fetch barrier (axon)
     print(f"# compile+first {time.time() - t0:.1f}s", flush=True)
 
+    profile_dir = os.environ.get("NM_BENCH_PROFILE")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            state, m = step(state, dbufs[0], key)
+            _ = float(m["total"])
+
     times = []
-    for _ in range(iters):
+    for i in range(iters):
         t0 = time.time()
-        state, m = step(state, batch_arrays, key)
+        state, m = step(state, dbufs[i % len(dbufs)], key)
         _ = float(m["total"])
         times.append(time.time() - t0)
     med = sorted(times)[len(times) // 2]
     print(f"# per-step: {[round(t, 3) for t in times]}")
     print(f"train[{mode}] batch={batch}: {med:.3f}s/batch, "
           f"{batch / med:.2f} imgs/sec")
+    return med
 
 
 if __name__ == "__main__":
