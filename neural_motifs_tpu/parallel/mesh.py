@@ -41,14 +41,47 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _leaf_sharding(mesh: Mesh, path, leaf, shard_fc: bool) -> NamedSharding:
+    """Megatron-style TP rule for the three VGG fc towers (detector RoI
+    head, rel obj head, union head — the 25088x4096 / 4096x4096 GEMMs that
+    hold ~85% of the params): `fc0` is column-sharded (output dim over
+    MODEL_AXIS, bias sharded along), `fc1`/`proj` are row-sharded (input dim
+    over MODEL_AXIS, bias replicated) so the pair needs exactly one psum and
+    the [*, 4096] hidden activation never materializes unsharded. The rule
+    keys on layer names anywhere in the path, so it applies equally to
+    params and to optimizer momentum (whose paths embed the param paths).
+    Everything else — convs, LSTM, heads, batch_stats, counters — is
+    replicated (pure data parallelism)."""
+    repl = NamedSharding(mesh, P())
+    if not shard_fc:
+        return repl
+    nm = mesh.shape[MODEL_AXIS]
+    if nm <= 1 or not hasattr(leaf, "ndim"):
+        return repl
+    keys = {str(getattr(p, "key", "")) for p in path}
+    col, row = "fc0" in keys, ("fc1" in keys or "proj" in keys)
+    if col and leaf.ndim == 2 and leaf.shape[1] % nm == 0:
+        return NamedSharding(mesh, P(None, MODEL_AXIS))
+    if col and leaf.ndim == 1 and leaf.shape[0] % nm == 0:
+        return NamedSharding(mesh, P(MODEL_AXIS))
+    if row and leaf.ndim == 2 and leaf.shape[0] % nm == 0:
+        return NamedSharding(mesh, P(MODEL_AXIS, None))
+    return repl
+
+
 def param_sharding(mesh: Mesh, params: Any, shard_fc: bool = False) -> Any:
-    """Sharding tree for params: replicated, except (optionally) the two
-    widest Dense kernels which shard their output dim over MODEL_AXIS."""
-    def rule(path, leaf):
-        if shard_fc and leaf.ndim == 2 and leaf.shape[0] * leaf.shape[1] >= 4096 * 4096:
-            return NamedSharding(mesh, P(None, MODEL_AXIS))
-        return NamedSharding(mesh, P())
-    return jax.tree_util.tree_map_with_path(rule, params)
+    """Sharding tree for params: replicated, except (with shard_fc) the wide
+    fc towers which are tensor-parallel over MODEL_AXIS (see _leaf_sharding)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _leaf_sharding(mesh, path, leaf, shard_fc), params)
+
+
+def state_shardings(mesh: Mesh, state: Any, shard_fc: bool = False) -> Any:
+    """Sharding tree for a whole TrainState (params + optimizer momentum +
+    batch_stats + step). Momentum buffers inherit their param's TP layout
+    because optax state paths embed the param path keys."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _leaf_sharding(mesh, path, leaf, shard_fc), state)
 
 
 def shard_batch(batch, mesh: Mesh):
