@@ -161,6 +161,8 @@ class RelModel(nn.Module):
     use_resnet: bool = False
     dtype: Any = jnp.bfloat16
     budgets: C.PadBudgets = C.PadBudgets()
+    union_chunk: int = 512   # pair-tower chunk (bounds the [B, chunk, 7, 7,
+                             # 512] union pools; bigger = larger GEMMs)
 
     @property
     def require_overlap(self):
@@ -313,7 +315,7 @@ class RelModel(nn.Module):
             # at eval); params are shared across the repeated submodule
             # calls. Train uses <= 256 pairs = one chunk.
             p_total = pairs.sub.shape[1]
-            chunk = 512
+            chunk = self.union_chunk
             vr_parts = []
             for s0 in range(0, p_total, chunk):
                 sl = slice(s0, min(s0 + chunk, p_total))

@@ -181,17 +181,19 @@ def per_class_nms_mask(boxes_per_cls: Array, probs: Array, valid: Array,
             top_i[..., None], axis=1)                       # [C, K, 4]
 
         if use_pallas_nms():
-            # fused VMEM kernel: all C classes as kernel grid lanes
-            # (interpret mode off-TPU so NM_PALLAS_NMS=1 is testable on CPU).
+            # fused VMEM kernel: one rank-sequential pass vectorized across
+            # all C classes (ops/pallas_nms._perclass_kernel; interpret mode
+            # off-TPU so NM_PALLAS_NMS=1 is testable on CPU). top_p is
+            # already descending per class (top_k output), so no re-sort.
             # The keep mask is a discrete decision — stop_gradient the
             # inputs so autodiff (sgdet training) never tries to linearize
             # through the pallas_call, matching the (gradient-free)
             # semantics of the XLA fixpoint path.
-            from neural_motifs_tpu.ops.pallas_nms import pallas_greedy_nms
-            keep_k = pallas_greedy_nms(
-                lax.stop_gradient(bc), lax.stop_gradient(top_p),
-                lax.stop_gradient(top_p >= 0.0), iou_thresh,
-                interpret=jax.default_backend() != "tpu")
+            from neural_motifs_tpu.ops.pallas_nms import pallas_perclass_nms
+            keep_k = pallas_perclass_nms(
+                lax.stop_gradient(bc)[None],
+                lax.stop_gradient(top_p >= 0.0)[None], iou_thresh,
+                interpret=jax.default_backend() != "tpu")[0]
         else:
             def one_class(bck, pck):
                 return greedy_nms_mask(bck, pck, pck >= 0.0, iou_thresh)
