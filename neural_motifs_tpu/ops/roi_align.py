@@ -1,4 +1,4 @@
-"""RoIAlign as interpolation matmuls — an MXU-native crop_and_resize.
+"""RoIAlign — TPU-native crop_and_resize, two implementations.
 
 The reference uses a CUDA gather kernel with TF crop_and_resize semantics
 (reference lib/fpn/roi_align/src/cuda/roi_align_kernel.cu:15-80, normalization
@@ -10,23 +10,37 @@ normalization, the sample grid in feature-map coordinates is simply
 with bilinear interpolation between the two neighbouring cells and zero
 extrapolation outside [0, dim-1].
 
-Bilinear interpolation along an axis is a linear map, so instead of gathers
-(slow on TPU) we build per-RoI interpolation matrices R_y [P, H], R_x [P, W]
-of tent weights and evaluate
+Two equivalent evaluations, switchable via NM_ROI_ALIGN=matmul|gather:
 
-    out[r] = R_y[r] @ fmap @ R_x[r]^T        (per channel)
+* 'matmul' (default): bilinear interpolation along an axis is a linear map,
+  so build per-RoI interpolation matrices R_y [P, H], R_x [P, W] of tent
+  weights and evaluate out[r] = R_y[r] @ fmap @ R_x[r]^T on the MXU. The
+  [R, P, W, C] intermediate makes it HBM-bound at eval scale (~29ms of the
+  SGDet step on the union pairs), but it is still the fastest form on TPU.
+* 'gather': each bilinear sample touches exactly 4 feature cells, so gather
+  the 4 corner rows and lerp on the VPU — no [P, W]-sized intermediate.
+  Measured on the v5e bench: SLOWER end-to-end (694ms vs 392ms @ batch 16)
+  — XLA lowers the [B, R*P*Q] row gather poorly — kept as a tested
+  alternative for backends with fast gathers.
 
-two dense einsums that run on the MXU and differentiate for free (the CUDA
-atomicAdd backward of the reference disappears). Invalid/padded RoIs produce
-zeros via the weight matrices.
+Both differentiate for free (gather's backward is a scatter-add — exactly
+the reference's atomicAdd backward, emitted by autodiff). Invalid/padded
+RoIs produce zeros via the weights. Parity-tested against each other and
+against the numpy oracle.
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+
+def _default_mode() -> str:
+    return os.environ.get("NM_ROI_ALIGN", "matmul")
 
 
 def interp_matrix(lo: Array, hi: Array, out_size: int, grid_size: int) -> Array:
@@ -46,8 +60,8 @@ def interp_matrix(lo: Array, hi: Array, out_size: int, grid_size: int) -> Array:
     return w * in_range[..., None]
 
 
-def _roi_align_impl(fmap: Array, rois: Array, valid: Array | None,
-                    out_size: int, spatial_scale: float) -> Array:
+def _roi_align_matmul(fmap: Array, rois: Array, valid: Array | None,
+                      out_size: int, spatial_scale: float) -> Array:
     _, h, w, _ = fmap.shape
     s = jnp.asarray(spatial_scale, fmap.dtype)
     rois = rois.astype(fmap.dtype)
@@ -60,6 +74,61 @@ def _roi_align_impl(fmap: Array, rois: Array, valid: Array | None,
     # [B,R,P,W,C] x [B,R,Q,W] -> [B,R,P,Q,C]
     out = jnp.einsum("brpwc,brqw->brpqc", t, rx, preferred_element_type=fmap.dtype)
     return out
+
+
+def _corner_weights(u: Array, grid_size: int):
+    """Sample coordinate u -> (i0, i1, w0, w1): the two neighbouring cells
+    and their tent weights; both weights 0 outside [0, grid-1] (zero
+    extrapolation). Matches interp_matrix row-wise."""
+    g1 = float(grid_size - 1)
+    i0 = jnp.clip(jnp.floor(u), 0.0, g1)
+    frac = u - i0
+    i1 = jnp.minimum(i0 + 1.0, g1)
+    in_range = (u >= 0.0) & (u <= g1)
+    w1 = jnp.where(in_range, frac, 0.0)
+    w0 = jnp.where(in_range, 1.0 - frac, 0.0)
+    return i0.astype(jnp.int32), i1.astype(jnp.int32), w0, w1
+
+
+def _roi_align_gather(fmap: Array, rois: Array, valid: Array | None,
+                      out_size: int, spatial_scale: float) -> Array:
+    b, h, w, c = fmap.shape
+    r = rois.shape[1]
+    p = out_size
+    s = jnp.asarray(spatial_scale, rois.dtype)
+    grid = jnp.arange(p, dtype=rois.dtype)
+
+    def axis_samples(lo, hi, g):
+        step = (hi - lo) / (p - 1)
+        u = lo[..., None] + grid * step[..., None]           # [B, R, P]
+        return _corner_weights(u, g)
+
+    iy0, iy1, wy0, wy1 = axis_samples(rois[..., 1] * s, rois[..., 3] * s, h)
+    ix0, ix1, wx0, wx1 = axis_samples(rois[..., 0] * s, rois[..., 2] * s, w)
+    if valid is not None:
+        v = valid.astype(wy0.dtype)[..., None]
+        wy0 = wy0 * v
+        wy1 = wy1 * v
+
+    flat = fmap.reshape(b, h * w, c)
+    out = None
+    for iy, wy in ((iy0, wy0), (iy1, wy1)):
+        for ix, wx in ((ix0, wx0), (ix1, wx1)):
+            idx = (iy[..., :, None] * w + ix[..., None, :]).reshape(b, -1)
+            vals = jnp.take_along_axis(flat, idx[..., None], axis=1)
+            vals = vals.reshape(b, r, p, p, c)
+            wgt = (wy[..., :, None] * wx[..., None, :]).astype(fmap.dtype)
+            term = vals * wgt[..., None]
+            out = term if out is None else out + term
+    return out
+
+
+def _roi_align_impl(fmap: Array, rois: Array, valid: Array | None,
+                    out_size: int, spatial_scale: float,
+                    mode: str | None = None) -> Array:
+    mode = mode or _default_mode()
+    fn = _roi_align_gather if mode == "gather" else _roi_align_matmul
+    return fn(fmap, rois, valid, out_size, spatial_scale)
 
 
 def roi_align(fmap: Array, rois: Array, valid: Array | None, out_size: int,

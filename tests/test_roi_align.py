@@ -76,3 +76,44 @@ def test_differentiable(rng):
     g = jax.grad(f)(fmap)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_gather_and_matmul_modes_agree(rng):
+    """The gather+lerp implementation == the interpolation-matmul one
+    (f32 fmap, tight tolerance); both run through the public chunked entry."""
+    from neural_motifs_tpu.ops.roi_align import _roi_align_impl
+
+    fmap = jnp.asarray(rng.standard_normal((2, 19, 23, 8)).astype(np.float32))
+    rois = np.zeros((2, 9, 4), np.float32)
+    xy = rng.uniform(-20, 300, (2, 9, 2)).astype(np.float32)  # incl. OOB
+    wh = rng.uniform(1, 200, (2, 9, 2)).astype(np.float32)
+    rois[..., :2] = xy
+    rois[..., 2:] = xy + wh
+    valid = np.ones((2, 9), bool)
+    valid[1, 6:] = False
+    a = _roi_align_impl(fmap, jnp.asarray(rois), jnp.asarray(valid), 7,
+                        1.0 / 16.0, mode="gather")
+    b = _roi_align_impl(fmap, jnp.asarray(rois), jnp.asarray(valid), 7,
+                        1.0 / 16.0, mode="matmul")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gather_mode_differentiable(rng):
+    """Gather mode backward = scatter-add into the feature map (the autodiff
+    analog of the reference's atomicAdd backward) — finite and non-zero."""
+    import os
+    fmap = jnp.asarray(rng.standard_normal((1, 12, 12, 4)).astype(np.float32))
+    rois = jnp.asarray([[[8.0, 8.0, 120.0, 120.0]]])
+    old = os.environ.get("NM_ROI_ALIGN")
+    os.environ["NM_ROI_ALIGN"] = "gather"
+    try:
+        g = jax.grad(lambda f: jnp.sum(
+            roi_align(f, rois, jnp.ones((1, 1), bool), 7, 1.0 / 16.0) ** 2))(fmap)
+    finally:
+        if old is None:
+            os.environ.pop("NM_ROI_ALIGN", None)
+        else:
+            os.environ["NM_ROI_ALIGN"] = old
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.sum(jnp.abs(g))) > 0
