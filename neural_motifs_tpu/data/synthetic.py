@@ -66,6 +66,11 @@ class SyntheticVG:
             "flipped": False,
         }
 
+    def coco_annotations(self):
+        from neural_motifs_tpu.data.adapters import faux_coco_annotations
+        return faux_coco_annotations(self.gt_classes, self.gt_boxes,
+                                     self.ind_to_classes)
+
     @classmethod
     def splits(cls, num_images=64, **kw):
         return (cls(num_images, "train", **kw), cls(max(8, num_images // 4), "val", **kw),

@@ -267,16 +267,6 @@ class VG:
 
     def coco_annotations(self):
         """Faux-COCO dict for detector mAP (visual_genome.py:102-127)."""
-        anns, images = [], []
-        for i, (cls_arr, box_arr) in enumerate(zip(self.gt_classes, self.gt_boxes)):
-            images.append({"id": i})
-            for cls, box in zip(cls_arr.tolist(), box_arr.tolist()):
-                anns.append({
-                    "area": (box[3] - box[1] + 1) * (box[2] - box[0] + 1),
-                    "bbox": [box[0], box[1], box[2] - box[0] + 1, box[3] - box[1] + 1],
-                    "category_id": cls, "id": len(anns), "image_id": i, "iscrowd": 0,
-                })
-        cats = [{"supercategory": "obj", "id": i, "name": n}
-                for i, n in enumerate(self.ind_to_classes) if n != "__background__"]
-        return {"info": {"description": "VG faux-coco"}, "images": images,
-                "categories": cats, "annotations": anns}
+        from neural_motifs_tpu.data.adapters import faux_coco_annotations
+        return faux_coco_annotations(self.gt_classes, self.gt_boxes,
+                                     self.ind_to_classes)

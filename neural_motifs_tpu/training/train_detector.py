@@ -30,9 +30,10 @@ def batch_kwargs(batch) -> dict:
 
 
 def detection_map(model, state, loader, dataset) -> float:
-    """Detection mAP via pycocotools over the faux-COCO adapter
-    (train_detector.py:158-181); falls back to a proxy (mean top-score) if
-    pycocotools is unavailable."""
+    """Detection mAP@0.5 over the faux-COCO adapter
+    (train_detector.py:158-181): pycocotools' COCOeval when installed,
+    otherwise the self-contained evaluator in evaluation/det_map.py (same
+    protocol: greedy matching, maxDets 100, 101-point interpolation)."""
     eval_fn = jax.jit(lambda p, bs, kw: model.apply(
         {"params": p, "batch_stats": bs}, train=False, **kw))
     results = []
@@ -64,7 +65,8 @@ def detection_map(model, state, loader, dataset) -> float:
         ev.evaluate(); ev.accumulate(); ev.summarize()
         return float(ev.stats[1])  # mAP@0.5
     except ImportError:
-        return float(np.mean([r["score"] for r in results])) if results else 0.0
+        from neural_motifs_tpu.evaluation.det_map import coco_map
+        return coco_map(dataset.coco_annotations(), results)["map_50"]
 
 
 def main(argv=None):

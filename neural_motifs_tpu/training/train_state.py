@@ -101,7 +101,11 @@ def create_train_state(model, rng, example_batch_args: dict, tx) -> TrainState:
     variables = jax.jit(lambda r: model.init(r, train=True,
                                              **example_batch_args))(rngs)
     params = variables["params"]
-    batch_stats = variables.get("batch_stats", FrozenDict())
+    # plain {} (not FrozenDict) so stat-less models (the VGG detector has no
+    # BN) produce the same container type flax returns from
+    # mutable=["batch_stats"] — mismatched empties break the skip_nonfinite
+    # tree_map in make_train_step
+    batch_stats = variables.get("batch_stats", {})
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       batch_stats=batch_stats,
                       opt_state=tx.init(params), tx=tx, apply_fn=model.apply)
@@ -130,8 +134,12 @@ def make_train_step(loss_from_output: Callable, model_kwargs_from_batch: Callabl
         (loss, (losses, mutated)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         gnorm = optax.global_norm(grads)
-        new_state = state.apply_gradients(grads).replace(
-            batch_stats=mutated.get("batch_stats", state.batch_stats))
+        new_bs = mutated.get("batch_stats", state.batch_stats)
+        if not jax.tree_util.tree_leaves(new_bs):
+            # stat-less model: keep the original (possibly differently-typed
+            # empty) container so old/new states stay tree-compatible
+            new_bs = state.batch_stats
+        new_state = state.apply_gradients(grads).replace(batch_stats=new_bs)
         if skip_nonfinite:
             ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
             new_state = jax.tree_util.tree_map(

@@ -67,3 +67,26 @@ def test_eval_mode_produces_detections(rng):
     assert out.obj_preds is not None and out.boxes_all is not None
     preds = np.asarray(out.obj_preds)[np.asarray(out.rm_valid)]
     assert (preds > 0).all()  # background never selected
+
+
+def test_make_train_step_statless_model(rng):
+    """Regression: the CLI train path (create_train_state + make_train_step)
+    must work for a model with NO batch_stats collection — the VGG detector.
+    The empty mutated {} previously collided with the FrozenDict() default
+    in the skip_nonfinite tree_map (found driving train_detector e2e)."""
+    from neural_motifs_tpu.training.train_state import (create_train_state,
+                                                        make_optimizer,
+                                                        make_train_step)
+
+    det = make_det()
+    batch = tiny_batch(rng)
+    kw = dict(images=batch["images"], im_hw=batch["im_hw"],
+              gt_boxes=batch["gt_boxes"], gt_classes=batch["gt_classes"],
+              gt_mask=batch["gt_mask"])
+    state = create_train_state(det, jax.random.PRNGKey(0), kw,
+                               make_optimizer(1e-3))
+    step = make_train_step(detector_losses, lambda b: b, donate=False)
+    state2, losses = step(state, kw, jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses["total"]))
+    assert float(losses["skipped"]) == 0.0
+    assert int(state2.step) == 1
