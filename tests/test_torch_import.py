@@ -24,6 +24,13 @@ _VGG_SHAPES = [(64, 3), (64, 64), (128, 64), (128, 128), (256, 128),
 
 def fabricate_reference_sd(rng):
     sd = {}
+    # float32 Generator: legacy RandomState.randn on the 25088x4096 towers
+    # costs ~2 min of float64 sampling on a 1-core host
+    gen = np.random.default_rng(int(rng.randint(1 << 31)))
+
+    def _rn(*shape):
+        return gen.standard_normal(shape, dtype=np.float32)
+    rng = type("R", (), {"randn": staticmethod(_rn)})()
 
     def lin(name, o, i):
         sd[f"{name}.weight"] = rng.randn(o, i).astype(np.float32)
