@@ -161,6 +161,9 @@ class ModelConfig:
     # TPU knobs
     compute_dtype: str = "bfloat16"     # conv/matmul compute precision
     param_dtype: str = "float32"
+    remat: bool = False   # jax.checkpoint the conv backbone: recompute it
+                          # in backward instead of storing 592^2 activations
+                          # (enables larger detector-pretraining batches)
     budgets: PadBudgets = dataclasses.field(default_factory=PadBudgets)
 
     def __post_init__(self):
@@ -206,6 +209,7 @@ class ModelConfig:
         p.add_argument("-multipred", dest="multi_pred", action="store_true")
         p.add_argument("-nepoch", dest="num_epochs", type=int, default=25)
         p.add_argument("-resnet", dest="use_resnet", action="store_true")
+        p.add_argument("-remat", dest="remat", action="store_true")
         p.add_argument("-proposals", dest="use_proposals", action="store_true")
         p.add_argument("-nl_obj", dest="nl_obj", type=int, default=1)
         p.add_argument("-nl_edge", dest="nl_edge", type=int, default=2)

@@ -183,6 +183,9 @@ class ObjectDetector(nn.Module):
                             # for VGG — parameterized here for small tests)
     dtype: Any = jnp.bfloat16
     budgets: C.PadBudgets = C.PadBudgets()
+    remat: bool = False     # jax.checkpoint the conv trunk: backward
+                            # recomputes the 592^2 conv activations instead
+                            # of storing them (bigger pretraining batches)
 
     def setup(self):
         assert self.mode in MODES
@@ -190,14 +193,17 @@ class ObjectDetector(nn.Module):
             # deprecated alternative backbone (object_detector.py:84-100):
             # ResNet-101-C4 trunk + 1x1 compress + SELU fc RoI head
             from neural_motifs_tpu.models.resnet import ResNet101C4
-            self.features = ResNet101C4(dtype=self.dtype)
+            feat_cls = nn.remat(ResNet101C4) if self.remat else ResNet101C4
+            self.features = feat_cls(dtype=self.dtype)
             self.compress = nn.Sequential([
                 nn.Conv(256, (1, 1), dtype=self.dtype, param_dtype=jnp.float32),
                 nn.relu,
                 nn.BatchNorm(use_running_average=True)])
             self.roi_head = SELUHead(dtype=self.dtype)
         else:
-            self.features = VGG16Features(dtype=self.dtype)
+            feat_cls = (nn.remat(VGG16Features) if self.remat
+                        else VGG16Features)
+            self.features = feat_cls(dtype=self.dtype)
             self.roi_head = VGGRoIHead(dtype=self.dtype, fc_dim=self.obj_dim)
         self.score_fc = nn.Dense(self.num_classes, param_dtype=jnp.float32,
                                  dtype=jnp.float32)

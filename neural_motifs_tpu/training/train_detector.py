@@ -88,7 +88,8 @@ def main(argv=None):
                                              num_workers=cfg.num_workers)
     model = ObjectDetector(num_classes=train.num_classes, mode="rpntrain",
                            dtype=jnp.dtype(cfg.compute_dtype),
-                           budgets=cfg.budgets)
+                           budgets=cfg.budgets, use_resnet=cfg.use_resnet,
+                           remat=cfg.remat)
     lr = cfg.lr * cfg.num_devices * cfg.batch_size
     tx = make_optimizer(lr, l2=cfg.l2, clip=cfg.clip, adam=cfg.adam)
     example = next(iter(train_loader))

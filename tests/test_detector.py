@@ -90,3 +90,32 @@ def test_make_train_step_statless_model(rng):
     assert np.isfinite(float(losses["total"]))
     assert float(losses["skipped"]) == 0.0
     assert int(state2.step) == 1
+
+
+def test_remat_backbone_same_loss_and_grads(rng):
+    """remat=True must change memory behavior only: loss and grads equal the
+    non-remat model bit-for-bit (same params, same inputs)."""
+    batch = tiny_batch(rng)
+    kw = dict(images=batch["images"], im_hw=batch["im_hw"],
+              gt_boxes=batch["gt_boxes"], gt_classes=batch["gt_classes"],
+              gt_mask=batch["gt_mask"])
+    base = make_det()
+    det_r = ObjectDetector(num_classes=NC, mode="rpntrain", budgets=TINY,
+                           dtype=jnp.float32, thresh=0.0, max_per_img=8,
+                           remat=True)
+    variables = base.init(RNGS, train=True, **kw)
+    # param trees must be interchangeable (remat wrapper keeps module names)
+    vr = det_r.init(RNGS, train=True, **kw)
+    assert (jax.tree_util.tree_structure(vr["params"])
+            == jax.tree_util.tree_structure(variables["params"]))
+
+    def loss(det, params):
+        out = det.apply({"params": params}, train=True, rngs=RNGS, **kw)
+        return detector_losses(out)["total"]
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(base, p))(variables["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss(det_r, p))(variables["params"])
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-7)

@@ -31,6 +31,8 @@ def main(mode="sgcls", batch=6, iters=8):
     budgets = C.PadBudgets()
     nc, npred = C.VG_NUM_CLASSES, C.VG_NUM_PREDICATES
     r = np.random.RandomState(0)
+    if mode == "det":
+        return main_det(batch, iters)
     model = RelModel(
         num_classes=nc, num_rels=npred, mode=mode, budgets=budgets,
         dtype=jnp.bfloat16, hidden_dim=512, pooling_dim=4096, obj_dim=4096,
@@ -102,6 +104,66 @@ def main(mode="sgcls", batch=6, iters=8):
     print(f"# per-step: {[round(t, 3) for t in times]}")
     print(f"train[{mode}] batch={batch}: {med:.3f}s/batch, "
           f"{batch / med:.2f} imgs/sec")
+    return med
+
+
+def main_det(batch=6, iters=8):
+    """Detector-pretraining step (rpntrain: anchor targets + RPN/RoI losses,
+    backward through the full VGG trunk). NM_BENCH_REMAT=1 wraps the trunk
+    in jax.checkpoint (recompute in backward) — the knob that makes large
+    batches fit; reference setup was batch 6/GPU (pretrain_detector.sh)."""
+    from neural_motifs_tpu.models.detector import ObjectDetector
+    from neural_motifs_tpu.training.losses import detector_losses
+
+    remat = os.environ.get("NM_BENCH_REMAT") == "1"
+    budgets = C.PadBudgets()
+    nc = C.VG_NUM_CLASSES
+    r = np.random.RandomState(0)
+    model = ObjectDetector(num_classes=nc, mode="rpntrain", budgets=budgets,
+                           dtype=jnp.bfloat16, remat=remat)
+    im = C.IM_SCALE
+    g = budgets.max_gt_boxes
+    gt_boxes = np.zeros((batch, g, 4), np.float32)
+    gt_classes = np.zeros((batch, g), np.int32)
+    gt_mask = np.zeros((batch, g), bool)
+    for i in range(batch):
+        n = 14
+        xy = r.uniform(0, im * 0.6, (n, 2))
+        wh = r.uniform(40, im * 0.35, (n, 2))
+        gt_boxes[i, :n] = np.concatenate([xy, np.minimum(xy + wh, im - 1)], 1)
+        gt_classes[i, :n] = r.randint(1, nc, n)
+        gt_mask[i, :n] = True
+    batch_arrays = dict(
+        images=r.randn(batch, im, im, 3).astype(np.float32) * 0.3,
+        im_hw=np.full((batch, 2), float(im), np.float32),
+        gt_boxes=gt_boxes, gt_classes=gt_classes, gt_mask=gt_mask)
+
+    tx = make_optimizer(1e-3 * batch)
+    t0 = time.time()
+    state = create_train_state(model, jax.random.PRNGKey(0), batch_arrays, tx)
+    print(f"# init {time.time() - t0:.1f}s", flush=True)
+    step = make_train_step(detector_losses, lambda b: b, donate=True)
+    key = jax.random.PRNGKey(1)
+    dbufs = []
+    for k in range(2):
+        ba = dict(batch_arrays)
+        ba["images"] = batch_arrays["images"] + 0.01 * k
+        dbufs.append({kk: jax.device_put(jnp.asarray(v))
+                      for kk, v in ba.items()})
+    t0 = time.time()
+    state, m = step(state, dbufs[0], key)
+    _ = float(m["total"])
+    print(f"# compile+first {time.time() - t0:.1f}s", flush=True)
+    times = []
+    for i in range(iters):
+        t0 = time.time()
+        state, m = step(state, dbufs[i % len(dbufs)], key)
+        _ = float(m["total"])
+        times.append(time.time() - t0)
+    med = sorted(times)[len(times) // 2]
+    print(f"# per-step: {[round(t, 3) for t in times]}")
+    print(f"train[det{'+remat' if remat else ''}] batch={batch}: "
+          f"{med:.3f}s/batch, {batch / med:.2f} imgs/sec")
     return med
 
 
