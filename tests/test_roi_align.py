@@ -117,3 +117,48 @@ def test_gather_mode_differentiable(rng):
             os.environ["NM_ROI_ALIGN"] = old
     assert np.all(np.isfinite(np.asarray(g)))
     assert float(jnp.sum(jnp.abs(g))) > 0
+
+
+def test_pallas_kernel_matches_matmul(rng):
+    """The fused Pallas Kronecker kernel (TPU default) == the separable
+    matmul form, including roi-padding (R not a tile multiple), invalid
+    rois and out-of-bounds boxes; runs in Mosaic interpret mode on CPU."""
+    from jax.experimental.pallas import tpu as pltpu
+    from neural_motifs_tpu.ops.pallas_roi_align import pallas_roi_align
+    from neural_motifs_tpu.ops.roi_align import _roi_align_impl
+
+    fmap = jnp.asarray(rng.standard_normal((2, 19, 23, 8)).astype(np.float32))
+    r_cnt = 21  # not a multiple of ROI_TILE
+    rois = np.zeros((2, r_cnt, 4), np.float32)
+    xy = rng.uniform(-20, 300, (2, r_cnt, 2)).astype(np.float32)
+    wh = rng.uniform(1, 200, (2, r_cnt, 2)).astype(np.float32)
+    rois[..., :2] = xy
+    rois[..., 2:] = xy + wh
+    valid = np.ones((2, r_cnt), bool)
+    valid[1, 15:] = False
+    with pltpu.force_tpu_interpret_mode():
+        out = pallas_roi_align(fmap, jnp.asarray(rois), jnp.asarray(valid),
+                               7, 1.0 / 16.0)
+    ref = _roi_align_impl(fmap, jnp.asarray(rois), jnp.asarray(valid), 7,
+                          1.0 / 16.0, mode="matmul")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_pallas_kernel_grad(rng):
+    """custom_vjp backward (separable-form autodiff) == the matmul form's
+    gradient."""
+    from jax.experimental.pallas import tpu as pltpu
+    from neural_motifs_tpu.ops.pallas_roi_align import pallas_roi_align
+    from neural_motifs_tpu.ops.roi_align import _roi_align_impl
+
+    fmap = jnp.asarray(rng.standard_normal((1, 12, 12, 4)).astype(np.float32))
+    rois = jnp.asarray([[[8.0, 8.0, 120.0, 120.0], [0.0, 0.0, 40.0, 60.0]]])
+    valid = jnp.ones((1, 2), bool)
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(lambda f: jnp.sum(
+            pallas_roi_align(f, rois, valid, 7, 1.0 / 16.0) ** 2))(fmap)
+    gr = jax.grad(lambda f: jnp.sum(
+        _roi_align_impl(f, rois, valid, 7, 1.0 / 16.0, mode="matmul") ** 2))(fmap)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), rtol=1e-5,
+                               atol=1e-5)

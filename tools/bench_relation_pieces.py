@@ -30,6 +30,10 @@ sys.path.insert(0, str(REPO))
 
 
 def timed(name, fn, *args, iters=8):
+    """Dispatch `iters` executions back-to-back and fetch ONE scalar at the
+    end: device executions serialize, so (total / iters) is the per-step
+    device time without the ~28ms-per-fetch axon tunnel overhead that a
+    fetch-every-iteration loop would add."""
     import jax
     import jax.numpy as jnp
     jf = jax.jit(fn)
@@ -38,14 +42,12 @@ def timed(name, fn, *args, iters=8):
     first = jax.tree_util.tree_leaves(out)[0]
     _ = float(jnp.sum(first.astype(jnp.float32)))
     compile_s = time.time() - t0
-    times = []
+    t0 = time.time()
     for _i in range(iters):
-        t0 = time.time()
         out = jf(*args)
-        first = jax.tree_util.tree_leaves(out)[0]
-        _ = float(jnp.sum(first.astype(jnp.float32)))
-        times.append(time.time() - t0)
-    med = sorted(times)[len(times) // 2]
+    first = jax.tree_util.tree_leaves(out)[0]
+    _ = float(jnp.sum(first.astype(jnp.float32)))
+    med = (time.time() - t0) / iters
     print(f"{name:16s} {med * 1000:8.2f} ms   (compile {compile_s:.1f}s)",
           flush=True)
     return med
@@ -131,14 +133,18 @@ def main():
         rng.randn(b, 512, 7, 7, cdim).astype(np.float32)).astype(jnp.bfloat16))
     hvars = head.init(jax.random.PRNGKey(0), pooled)
 
-    def union_fc(pooled):
-        # chunked like the model: 8 chunks of 512 pairs
+    def union_fc(hvars, pooled):
+        # chunked like the model: 8 chunks of 512 pairs; params passed as an
+        # argument (a closure would embed 411MB of weights as jit constants
+        # and blow up the remote-compile request). Each chunk input is
+        # perturbed so XLA cannot CSE the 8 applications into one.
         outs = []
-        for _k in range(p // 512 + (1 if p % 512 else 0)):
-            outs.append(head.apply(hvars, pooled, train=False))
+        for k in range(p // 512 + (1 if p % 512 else 0)):
+            outs.append(head.apply(
+                hvars, pooled * jnp.bfloat16(1.0 + 1e-3 * k), train=False))
         return jnp.concatenate(outs, axis=1)
 
-    t_fc = timed("union_fc(x8chk)", union_fc, pooled, iters=iters)
+    t_fc = timed("union_fc(x8chk)", union_fc, hvars, pooled, iters=iters)
 
     edge_rep = jax.device_put(jnp.asarray(
         rng.randn(b, o, 2, 4096).astype(np.float32)))
