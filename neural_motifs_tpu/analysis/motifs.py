@@ -124,3 +124,36 @@ def mine_motifs(dataset, **kw):
     miner = MotifMiner(**kw)
     found = miner.mine(dataset.gt_classes, dataset.relationships)
     return miner, found
+
+
+def _cli(argv=None):
+    """Mine motifs from the training split and print the top composites
+    (reference misc/motifs.py run as a script)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="PMI motif mining over GT graphs")
+    p.add_argument("-top", type=int, default=40)
+    p.add_argument("-iterations", type=int, default=25)
+    p.add_argument("-count_threshold", type=int, default=50)
+    p.add_argument("-pmi_threshold", type=float, default=10.0)
+    a = p.parse_args(argv)
+    try:
+        from neural_motifs_tpu.data.visual_genome import VG
+        ds = VG("train")
+    except FileNotFoundError as e:
+        print(f"[motifs] {e}\nFalling back to SyntheticVG.")
+        from neural_motifs_tpu.data.synthetic import SyntheticVG
+        ds = SyntheticVG(256, "train")
+    miner, found = mine_motifs(
+        ds, iterations=a.iterations, count_threshold=a.count_threshold,
+        pmi_threshold=a.pmi_threshold)
+    found.sort(key=lambda kv: -kv[1])
+    for tid, score in found[:a.top]:
+        print(f"{score:8.2f}  "
+              f"{miner.token_str(tid, ds.ind_to_classes, ds.ind_to_predicates)}")
+    if not found:
+        print("no motifs above thresholds (expected on random synthetic data)")
+
+
+if __name__ == "__main__":
+    _cli()

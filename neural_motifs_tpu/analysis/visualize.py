@@ -58,3 +58,59 @@ def draw_scene_graph(image, entry: dict, ind_to_classes, ind_to_predicates,
     with open(os.path.splitext(out_path)[0] + ".txt", "w") as f:
         f.write("\n".join(lines))
     return lines
+
+
+def _cli(argv=None):
+    """Render scene graphs to PNG + side-car text (reference
+    models/_visualize.py as a script). Default: GT graphs of the first N
+    val images; -cache <pkl> renders the predictions saved by
+    eval_rels -cache."""
+    import argparse
+    import pickle
+
+    p = argparse.ArgumentParser(description="scene-graph figure generator")
+    p.add_argument("-n", type=int, default=8)
+    p.add_argument("-out", default="qualitative")
+    p.add_argument("-cache", default=None,
+                   help="prediction pickle from eval_rels -cache")
+    a = p.parse_args(argv)
+    try:
+        from neural_motifs_tpu.data.visual_genome import VG
+        ds = VG("val")
+    except FileNotFoundError as e:
+        print(f"[visualize] {e}\nFalling back to SyntheticVG.")
+        from neural_motifs_tpu.data.synthetic import SyntheticVG
+        ds = SyntheticVG(max(8, a.n), "val")
+
+    entries = None
+    if a.cache:
+        with open(a.cache, "rb") as f:
+            entries = pickle.load(f)
+
+    for i in range(min(a.n, len(ds))):
+        item = ds[i]
+        img = ((item["img"] - item["img"].min()) /
+               max(float(np.ptp(item["img"])), 1e-6) * 255).astype(np.uint8)
+        if entries is not None:
+            entry = entries[i]
+        else:
+            rels = item["gt_relations"]
+            nrel = len(rels)
+            npred = ds.num_predicates
+            rel_scores = np.zeros((nrel, npred), np.float32)
+            rel_scores[np.arange(nrel), rels[:, 2]] = 1.0
+            entry = {
+                "pred_boxes": item["gt_boxes"],
+                "pred_classes": item["gt_classes"],
+                "obj_scores": np.ones(len(item["gt_classes"]), np.float32),
+                "pred_rel_inds": rels[:, :2],
+                "rel_scores": rel_scores,
+            }
+        lines = draw_scene_graph(img, entry, ds.ind_to_classes,
+                                 ds.ind_to_predicates,
+                                 os.path.join(a.out, f"scene_{i:04d}.png"))
+        print(f"scene_{i:04d}: {len(lines)} triples")
+
+
+if __name__ == "__main__":
+    _cli()
