@@ -61,8 +61,11 @@ def main(argv=None):
 
     evaluator = BasicSceneGraphEvaluator(cfg.mode, multiple_preds=cfg.multi_pred)
     all_pred_entries = []
-    for batch in loader:
-        pred = eval_fn(params, batch_stats, batch_kwargs(batch))
+
+    def consume(batch, pred):
+        # device_get blocks on the async step; by consuming batch k only
+        # after batch k+1 is dispatched, the ~25MB fetch and the host-side
+        # evaluator overlap the device compute of the next step
         for i, entry in enumerate(prediction_to_entries(jax.device_get(pred))):
             idx = int(batch.image_ids[i])
             gt = {"gt_classes": data.gt_classes[idx].copy(),
@@ -71,6 +74,15 @@ def main(argv=None):
             evaluator.evaluate_scene_graph_entry(gt, entry)
             if cfg.cache:
                 all_pred_entries.append(entry)
+
+    pending = None
+    for batch in loader:
+        pred = eval_fn(params, batch_stats, batch_kwargs(batch))
+        if pending is not None:
+            consume(*pending)
+        pending = (batch, pred)
+    if pending is not None:
+        consume(*pending)
     evaluator.print_stats()
     if cfg.cache:
         with open(cfg.cache, "wb") as f:

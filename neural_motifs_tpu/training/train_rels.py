@@ -65,15 +65,25 @@ def build_model(cfg: C.ModelConfig, train_data, dtype=None):
 
 def val_epoch(model, state, val_loader, val_data, cfg, eval_fn):
     evaluator = BasicSceneGraphEvaluator.all_modes()
-    for bi, batch in enumerate(val_loader):
-        pred = eval_fn(state.params, state.batch_stats, batch_kwargs(batch))
-        entries = prediction_to_entries(jax.device_get(pred))
-        for i, entry in enumerate(entries):
+
+    def consume(batch, pred):
+        # fetched only after the NEXT batch is dispatched, so the host
+        # transfer + evaluator overlap device compute (pipelined eval loop)
+        for i, entry in enumerate(prediction_to_entries(jax.device_get(pred))):
             idx = int(batch.image_ids[i])
             gt = {"gt_classes": val_data.gt_classes[idx].copy(),
                   "gt_relations": val_data.relationships[idx].copy(),
                   "gt_boxes": val_data.gt_boxes[idx].copy()}
             evaluator[cfg.mode].evaluate_scene_graph_entry(gt, entry)
+
+    pending = None
+    for bi, batch in enumerate(val_loader):
+        pred = eval_fn(state.params, state.batch_stats, batch_kwargs(batch))
+        if pending is not None:
+            consume(*pending)
+        pending = (batch, pred)
+    if pending is not None:
+        consume(*pending)
     evaluator[cfg.mode].print_stats()
     return evaluator[cfg.mode].mean_recall(100)
 

@@ -174,6 +174,31 @@ def check_pallas_nms():
             "pallas_executed": jax.default_backend() == "tpu" or None}
 
 
+@check("pallas_roi_align_vs_matmul_on_device")
+def check_pallas_roi_align():
+    import jax
+    from neural_motifs_tpu.ops.pallas_roi_align import pallas_roi_align
+    from neural_motifs_tpu.ops.roi_align import _roi_align_impl
+    rng = np.random.RandomState(6)
+    fmap = rng.randn(2, 37, 37, 512).astype(np.float32)
+    rois = np.stack([_random_boxes(rng, 200) for _ in range(2)])  # pads to 224
+    valid = np.ones((2, 200), bool)
+    valid[1, 170:] = False
+    dev = jax.devices()[0]
+    fm = jax.device_put(fmap.astype(np.float32), dev)
+    args = (jax.device_put(rois, dev), jax.device_put(valid, dev))
+    kp = np.asarray(jax.jit(
+        lambda f, r, v: pallas_roi_align(f, r, v, 7, 1.0 / 16.0))(fm, *args),
+        np.float32)
+    km = np.asarray(jax.jit(
+        lambda f, r, v: _roi_align_impl(f, r, v, 7, 1.0 / 16.0,
+                                        mode="matmul"))(fm, *args), np.float32)
+    d = float(np.max(np.abs(kp - km)))
+    scale = float(np.max(np.abs(km))) or 1.0
+    assert d / scale < 2e-2, f"pallas vs matmul rel diff {d / scale}"
+    return {"max_abs_diff": d, "rel_diff": d / scale}
+
+
 @check("highway_lstm")
 def check_lstm():
     import jax
@@ -220,7 +245,8 @@ def check_entry():
 
 def main():
     checks = [check_backend, check_iou, check_roi_align, check_nms,
-              check_pallas_nms, check_lstm, check_union, check_entry]
+              check_pallas_nms, check_pallas_roi_align, check_lstm,
+              check_union, check_entry]
     for c in checks:
         c()
     import jax
