@@ -310,3 +310,184 @@ def test_relmodel_sgcls_end_to_end_parity(rng):
         oscore = np.asarray(pred.obj_scores)[i]
         trip = max_rel * oscore[rinds[rvalid][:, 0]] * oscore[rinds[rvalid][:, 1]]
         assert np.all(np.diff(trip) <= 1e-6)
+
+
+# ---------------------------------------------------------------------------
+# SGDet detector-path oracle: RPN -> proposal NMS -> RoI scoring ->
+# per-class NMS -> top-K  (lib/object_detector.py:560-612, 363-485)
+# ---------------------------------------------------------------------------
+
+def np_point_form(cs):
+    """box_utils.py:67-78 incl. the xmax = cx + 0.5*(w - 2) quirk."""
+    return np.concatenate([cs[..., :2] - 0.5 * cs[..., 2:],
+                           cs[..., :2] + 0.5 * (cs[..., 2:] - 2.0)], -1)
+
+
+def np_bbox_preds(boxes, deltas):
+    """box_utils.py:28-48."""
+    pc = ref.np_center_size(boxes)
+    xys = pc[..., :2] + pc[..., 2:] * deltas[..., :2]
+    whs = np.exp(deltas[..., 2:]) * pc[..., 2:]
+    return np_point_form(np.concatenate([xys, whs], -1))
+
+
+def np_iou_plus1(a, b):
+    """Pairwise IoU with the +1 area convention (bbox.pyx:41-59)."""
+    iw = (np.minimum(a[:, None, 2], b[None, :, 2])
+          - np.maximum(a[:, None, 0], b[None, :, 0]) + 1).clip(min=0)
+    ih = (np.minimum(a[:, None, 3], b[None, :, 3])
+          - np.maximum(a[:, None, 1], b[None, :, 1]) + 1).clip(min=0)
+    inter = iw * ih
+    area = lambda x: (x[:, 2] - x[:, 0] + 1) * (x[:, 3] - x[:, 1] + 1)
+    return inter / (area(a)[:, None] + area(b)[None] - inter)
+
+
+def np_greedy_nms(boxes, scores, thresh, pre_topn, post_topn):
+    """apply_nms semantics: sort desc, greedy suppress IoU > thresh, keep
+    up to post_topn; returns indices into the input order."""
+    order = np.argsort(-scores, kind="mergesort")[:pre_topn]
+    iou = np_iou_plus1(boxes[order], boxes[order])
+    keep = []
+    alive = np.ones(len(order), bool)
+    for i in range(len(order)):
+        if not alive[i]:
+            continue
+        keep.append(order[i])
+        if len(keep) >= post_topn:
+            break
+        alive &= ~(iou[i] > thresh)
+        alive[i] = False
+    return np.array(keep, np.int64)
+
+
+def np_relu6(x):
+    return np.clip(x, 0.0, 6.0)
+
+
+def oracle_rpn_proposals(sd, fmap_hwc, im_h, im_w, post_topn):
+    """RPNHead.roi_proposals (object_detector.py:503-508, 560-597)."""
+    import torch
+    import torch.nn.functional as F
+
+    from neural_motifs_tpu.ops.anchors import generate_anchors
+
+    x = torch.tensor(fmap_hwc.transpose(2, 0, 1)[None])
+    with torch.no_grad():
+        x = F.conv2d(x, torch.tensor(sd["detector.rpn_head.conv.0.weight"]),
+                     torch.tensor(sd["detector.rpn_head.conv.0.bias"]),
+                     padding=1)
+        x = torch.clamp(x, 0.0, 6.0)                      # ReLU6
+        x = F.conv2d(x, torch.tensor(sd["detector.rpn_head.conv.2.weight"]),
+                     torch.tensor(sd["detector.rpn_head.conv.2.bias"]))
+    h, w = x.shape[2], x.shape[3]
+    feats = x.numpy()[0].transpose(1, 2, 0).reshape(h, w, 20, 6)
+
+    cls_logits = feats[..., :2]
+    probs = ref.np_softmax(cls_logits, -1)[..., 1]
+    anchors = np.asarray(generate_anchors(im_scale=h * 16))       # [h,w,20,4]
+    boxes = np_bbox_preds(anchors.reshape(-1, 4),
+                          feats[..., 2:].reshape(-1, 4))
+    probs = probs.reshape(h, w, 20).copy()
+    h_end, w_end = int(im_h) // 16, int(im_w) // 16
+    if h_end < h:
+        probs[h_end:] = -0.01
+    if w_end < w:
+        probs[:, w_end:] = -0.01
+    probs = probs.reshape(-1)
+    boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, im_w - 1)
+    boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, im_h - 1)
+    sizes = ref.np_center_size(boxes)
+    probs[(sizes[:, 2] < 4) | (sizes[:, 3] < 4)] = -0.01
+    keep = np_greedy_nms(boxes, probs, 0.7, len(probs), post_topn)
+    return boxes[keep]
+
+
+def oracle_filter_det(probs, boxes_all, max_per_img, thresh):
+    """filter_det (object_detector.py:425-485), nms_filter_duplicates=True.
+    Returns (roi_idx, scores, labels) sorted by score desc."""
+    n, nc = probs.shape
+    nms_mask = np.zeros_like(probs)
+    for c in range(1, nc):
+        if probs[:, c].max() <= thresh:
+            continue
+        keep = np_greedy_nms(boxes_all[:, c], probs[:, c], 0.3, 6000, 300)
+        nms_mask[keep, c] = 1.0
+    dists = nms_mask * probs
+    scores_pre = dists.max(1)
+    labels_pre = dists.argmax(1)
+    inds_all = np.nonzero(scores_pre)[0]
+    order = np.argsort(-scores_pre[inds_all], kind="mergesort")
+    order = order[scores_pre[inds_all][order] > thresh][:max_per_img]
+    sel = inds_all[order]
+    return sel, scores_pre[sel], labels_pre[sel]
+
+
+def test_detector_sgdet_end_to_end_parity(rng):
+    """Full refinerels detector chain from a raw image vs the reference
+    oracle: RPN conv + ReLU6 + anchor decode + border/size filters +
+    proposal NMS@0.7, RoI scoring, per-class box decode + clip, per-class
+    NMS@0.3 + duplicate filtering + top-K, and the class-0-prior convention
+    of boxes_all."""
+    from neural_motifs_tpu.models.detector import ObjectDetector
+
+    sd = fabricate_full_sd(rng)
+    post, max_det = 16, 8
+    budgets = C.PadBudgets(max_gt_boxes=G, max_gt_rels=8,
+                           rpn_pre_nms_topn_test=720,
+                           rpn_post_nms_topn_test=post)
+    det = ObjectDetector(num_classes=NC, mode="refinerels", thresh=0.01,
+                         max_per_img=max_det, dtype=jnp.float32,
+                         obj_dim=OBJ_DIM, budgets=budgets)
+    image = (rng.randn(IM, IM, 3) * 0.4).astype(np.float32)
+    kw = dict(images=jnp.asarray(image[None]),
+              im_hw=jnp.asarray([[float(IM), float(IM)]]))
+    init_kw = dict(kw, gt_boxes=jnp.zeros((1, G, 4)),
+                   gt_classes=jnp.zeros((1, G), jnp.int32),
+                   gt_mask=jnp.zeros((1, G), bool))
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = det.init(rngs, train=True, **init_kw)
+
+    imported, _ = import_reference_rel_model(
+        sd, hidden_dim=HID, obj_dim=OBJ_DIM, embed_dim=EMBED_DIM,
+        nl_obj=NL_OBJ, nl_edge=NL_EDGE, pooling_dim=POOL_DIM,
+        pass_in_obj_feats_to_decoder=False, pass_in_obj_feats_to_edge=False)
+    params = optimistic_restore(variables["params"], imported["detector"],
+                                verbose=False)
+    out = det.apply({"params": params}, train=False, rngs=rngs, **kw)
+
+    # ---- oracle ----
+    fmap = torch_vgg_features(sd, image)
+    props = oracle_rpn_proposals(sd, fmap, IM, IM, post)
+    pool = oracle_roi_pool_flat(fmap, props)
+    feat = ref.np_obj_tower(
+        {"roi_fmap_obj.0.weight": sd["detector.roi_fmap.0.weight"],
+         "roi_fmap_obj.0.bias": sd["detector.roi_fmap.0.bias"],
+         "roi_fmap_obj.3.weight": sd["detector.roi_fmap.3.weight"],
+         "roi_fmap_obj.3.bias": sd["detector.roi_fmap.3.bias"]}, pool)
+    logits = ref.np_linear(feat, sd["detector.score_fc.weight"],
+                           sd["detector.score_fc.bias"])
+    deltas = ref.np_linear(feat, sd["detector.bbox_fc.weight"],
+                           sd["detector.bbox_fc.bias"]).reshape(-1, NC, 4)
+    probs = ref.np_softmax(logits, -1)
+    boxes_all = np_bbox_preds(np.repeat(props[:, None], NC, 1), deltas)
+    boxes_all = boxes_all.clip(0, IM - 1)
+    sel, exp_scores, exp_labels = oracle_filter_det(probs, boxes_all,
+                                                    max_det, 0.01)
+
+    # ---- compare ----
+    got_valid = np.asarray(out.rm_valid)[0]
+    n_kept = int(got_valid.sum())
+    assert n_kept == len(sel), f"kept {n_kept} vs oracle {len(sel)}"
+    assert n_kept >= 3, "degenerate test: too few detections to be meaningful"
+    np.testing.assert_array_equal(np.asarray(out.obj_preds)[0, :n_kept],
+                                  exp_labels)
+    np.testing.assert_allclose(np.asarray(out.obj_scores)[0, :n_kept],
+                               exp_scores, rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out.rm_boxes)[0, :n_kept],
+                               props[sel], rtol=1e-3, atol=0.15)
+    got_ba = np.asarray(out.boxes_all)[0, :n_kept]
+    # class-0 slot carries the prior (object_detector.py:407)
+    np.testing.assert_allclose(got_ba[:, 0], props[sel], rtol=1e-3, atol=0.15)
+    np.testing.assert_allclose(got_ba[:, 1:], boxes_all[sel][:, 1:],
+                               rtol=2e-3, atol=0.3)
