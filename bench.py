@@ -23,6 +23,12 @@ TITAN_X_SGDET_IMG_S = 2.0  # documented estimate, see module docstring
 
 def main():
     import jax
+
+    # persistent compile cache: repeat runs of the same config skip the
+    # ~8-minute XLA compile (same knobs tests/conftest.py uses)
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
     from neural_motifs_tpu import config as C
     from neural_motifs_tpu.models.rel_model import RelModel
