@@ -154,10 +154,13 @@ def coco_map(gt_dataset: dict, results: list,
     if not valid:
         return {"map": 0.0, "map_50": 0.0, "per_category": {}}
     all_aps = np.stack(valid)                      # [C, T]
-    i50 = int(np.argmin(np.abs(iou_thrs - 0.5)))
+    # map_50 is only meaningful if 0.5 is among the evaluated thresholds;
+    # report None rather than silently substituting the nearest one
+    has_50 = np.abs(iou_thrs - 0.5) < 1e-9
+    i50 = int(np.argmax(has_50)) if has_50.any() else None
     return {
         "map": float(all_aps.mean()),
-        "map_50": float(all_aps[:, i50].mean()),
+        "map_50": (float(all_aps[:, i50].mean()) if i50 is not None else None),
         "per_category": {cid: (None if v is None else float(v.mean()))
                          for cid, v in per_cat_ap.items()},
     }

@@ -44,24 +44,23 @@ Array = jax.Array
 ROI_TILE = 32  # rois per program: W2 tile [32*49, H*W] bf16 ~ 4.4 MB @37x37
 
 
-def _expansion_constants(h: int, w: int) -> tuple[np.ndarray, np.ndarray]:
-    """E_y [H, H*W]: E_y[i, (h, w)] = [i == h];  E_x [W, H*W]:
-    E_x[j, (h, w)] = [j == w]. Multiplying by these expands a column index
-    to the flattened (h, w) grid without any lane-unaligned reshape."""
+def _expansion_constant(h: int, w: int) -> np.ndarray:
+    """E_y [H, H*W]: E_y[i, (h, w)] = [i == h]. Multiplying by it expands an
+    h-indexed column to the flattened (h, w) grid without any lane-unaligned
+    reshape. (The w-expansion is a pltpu.repeat tile in the kernel, so no
+    E_x constant is needed.)"""
     ey = np.zeros((h, h * w), np.float32)
-    ex = np.zeros((w, h * w), np.float32)
     cols = np.arange(h * w)
     ey[cols // w, cols] = 1.0
-    ex[cols % w, cols] = 1.0
-    return ey, ex
+    return ey
 
 
 def _kernel(ryx_ref, rxx_ref, ey_ref, fmap_ref, out_ref):
     # all-2D body (Mosaic rejects high-rank reshapes): rows are (r, p, q).
     # bf16 temporaries keep the three [RT*49, H*W] tiles inside VMEM at
-    # ROI_TILE=32. Column expansion h -> (h, w) is a lane-repeat on the
-    # VPU; w -> (h, w) is one 0/1 expansion GEMM (its K axis pads 37->128,
-    # so doing both as GEMMs costs a third of the kernel's FLOPs).
+    # ROI_TILE=32. Column expansion w -> (h, w) is a lane-repeat tile on the
+    # VPU; h -> (h, w) is one 0/1 expansion GEMM (E_y) — doing both as GEMMs
+    # would cost a third of the kernel's FLOPs (the K axis pads 37->128).
     dt = fmap_ref.dtype
     h = ey_ref.shape[0]
     # pltpu.repeat has TILE semantics (whole-array copies along the axis):
@@ -107,7 +106,7 @@ def _pallas_forward(fmap: Array, rois: Array, valid: Array | None,
     rxx = jnp.broadcast_to(rx[:, :, None, :, :],
                            (b, rp, p, p, w)).reshape(b, rp * p * p, w)
 
-    ey, _ = _expansion_constants(h, w)
+    ey = _expansion_constant(h, w)
     fmap_flat = fmap.reshape(b, h * w, c)
 
     flops = 2 * b * rp * p * p * h * w * c
@@ -130,6 +129,8 @@ def _pallas_forward(fmap: Array, rois: Array, valid: Array | None,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=fmap_flat.size * 2 * tiles +
             rp * p * p * b * c * 2, transcendentals=0),
+        # run in Mosaic interpret mode off-TPU (same policy as pallas_nms)
+        interpret=jax.default_backend() != "tpu",
     )(ryx, rxx, jnp.asarray(ey, fmap.dtype), fmap_flat)
     return out.reshape(b, rp, p, p, c)[:, :r]
 
