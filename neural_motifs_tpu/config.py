@@ -25,7 +25,13 @@ from typing import Optional, Tuple
 MODES = ("sgdet", "sgcls", "predcls")
 
 BOX_SCALE = 1024  # scale at which GT boxes are stored
-IM_SCALE = 592    # network input resolution (long side, square-padded)
+IM_SCALE = int(os.environ.get("NM_TPU_IM_SCALE", 592))
+# ^ network input resolution (long side, square-padded). The env override is
+# a dry-run/test hook ONLY (e.g. the parity-runbook fixture test) — the
+# reference trains/evals at 592 and every released checkpoint assumes it.
+if IM_SCALE != 592:
+    print(f"[config] WARNING: NM_TPU_IM_SCALE={IM_SCALE} != 592 — NOT "
+          f"reference-comparable; use only for dry runs/tests.", flush=True)
 
 # Proposal assignment thresholds
 BG_THRESH_HI = 0.5
@@ -94,7 +100,15 @@ class PadBudgets:
     objs_per_img: int = 64       # post-NMS objects per image (max_per_img=64)
     rels_per_img: int = RELS_PER_IMG       # sampled rel pairs (gtbox modes)
     rels_per_img_refine: int = RELS_PER_IMG_REFINE  # sampled rel pairs (sgdet)
-    max_pairs_eval: int = 4096   # all-pairs budget at eval (64*63=4032)
+    max_pairs_eval: int = 1024   # eval pair-compaction budget (serving mode,
+                                 # default ON: all 64*63=4032 padded pairs
+                                 # collapse to the top-1024 by object-score
+                                 # product — exact while valid pairs <= 1024
+                                 # (VG p99 objects ~36 -> <=1260 all-pairs,
+                                 # far less with sgdet overlap gating); the
+                                 # eval entry points report any overflow.
+                                 # Set -max_pairs_eval 4096 for exact mode
+                                 # (the parity runbook does).
     rpn_pre_nms_topn_train: int = 6000
     rpn_post_nms_topn_train: int = 2000
     rpn_pre_nms_topn_test: int = 6000
@@ -146,6 +160,8 @@ class ModelConfig:
     nl_edge: int = 2
     hidden_dim: int = 256
     pooling_dim: int = 4096
+    obj_dim: int = 4096     # VGG fc width (reference hardcodes 4096; a flag
+                            # here so tiny dry-run configs stay end-to-end)
     embed_dim: int = 200
     pass_in_obj_feats_to_decoder: bool = False
     pass_in_obj_feats_to_edge: bool = False
@@ -215,6 +231,18 @@ class ModelConfig:
         p.add_argument("-nl_edge", dest="nl_edge", type=int, default=2)
         p.add_argument("-hidden_dim", dest="hidden_dim", type=int, default=256)
         p.add_argument("-pooling_dim", dest="pooling_dim", type=int, default=4096)
+        p.add_argument("-obj_dim", dest="obj_dim", type=int, default=4096)
+        p.add_argument("-embed_dim", dest="embed_dim", type=int, default=200)
+        # padding budgets (TPU-specific; the Loader warns when the GT budgets
+        # sit under the dataset maxima — raise them with these)
+        p.add_argument("-max_gt_boxes", dest="max_gt_boxes", type=int,
+                       default=PadBudgets.max_gt_boxes)
+        p.add_argument("-max_gt_rels", dest="max_gt_rels", type=int,
+                       default=PadBudgets.max_gt_rels)
+        p.add_argument("-objs_per_img", dest="objs_per_img", type=int,
+                       default=PadBudgets.objs_per_img)
+        p.add_argument("-max_pairs_eval", dest="max_pairs_eval", type=int,
+                       default=PadBudgets.max_pairs_eval)
         p.add_argument("-pass_in_obj_feats_to_decoder",
                        dest="pass_in_obj_feats_to_decoder", action="store_true")
         p.add_argument("-pass_in_obj_feats_to_edge",
@@ -232,6 +260,10 @@ class ModelConfig:
         for k in ("ckpt", "det_ckpt", "save_dir", "cache"):
             if not args.get(k):
                 args[k] = None
+        budget_kw = {k: args.pop(k) for k in
+                     ("max_gt_boxes", "max_gt_rels", "objs_per_img",
+                      "max_pairs_eval")}
+        args["budgets"] = PadBudgets(**budget_kw)
         cfg = cls(**args)
         print("~~~~~~~~ Hyperparameters used: ~~~~~~~")
         for k, v in sorted(dataclasses.asdict(cfg).items()):

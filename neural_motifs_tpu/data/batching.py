@@ -36,6 +36,13 @@ class Batch(NamedTuple):
     image_ids: np.ndarray   # [B] int32 dataset indices
     proposals: Optional[np.ndarray] = None       # [B, P, 5] (score, x1, y1, x2, y2)
     proposal_mask: Optional[np.ndarray] = None   # [B, P] bool
+    # per-image GT truncation telemetry (host-only; never enters the jit
+    # step): columns = (boxes dropped over max_gt_boxes, rels dropped
+    # because an endpoint was truncated, rels dropped over max_gt_rels).
+    # The reference keeps ALL GT objects (visual_genome.py:313-330); any
+    # nonzero count here silently costs recall vs the reference, so the
+    # Loader aggregates these and the entry points report them loudly.
+    truncation: Optional[np.ndarray] = None      # [B, 3] int32
 
     @property
     def batch_size(self) -> int:
@@ -66,6 +73,7 @@ def collate(entries: Sequence[dict], budgets: C.PadBudgets | None = None,
     has_props = all("proposals" in e for e in entries)
     props = np.zeros((b, num_proposals, 5), np.float32) if has_props else None
     prop_mask = np.zeros((b, num_proposals), bool) if has_props else None
+    truncation = np.zeros((b, 3), np.int32)
 
     for i, e in enumerate(entries):
         img = e["img"]
@@ -75,6 +83,7 @@ def collate(entries: Sequence[dict], budgets: C.PadBudgets | None = None,
         im_hw[i] = (eh, ew)
         im_scale[i] = scale
         n_g = min(len(e["gt_boxes"]), g)
+        truncation[i, 0] = len(e["gt_boxes"]) - n_g
         # boxes stored at BOX_SCALE; bring to IM_SCALE (blob.py:76 'scale')
         gt_boxes[i, :n_g] = e["gt_boxes"][:n_g] * (C.IM_SCALE / C.BOX_SCALE)
         gt_classes[i, :n_g] = e["gt_classes"][:n_g]
@@ -83,8 +92,10 @@ def collate(entries: Sequence[dict], budgets: C.PadBudgets | None = None,
         # drop relations whose endpoints were truncated away
         if len(rels):
             keep = (rels[:, 0] < n_g) & (rels[:, 1] < n_g)
+            truncation[i, 1] = len(rels) - int(keep.sum())
             rels = rels[keep]
         n_r = min(len(rels), r)
+        truncation[i, 2] = len(rels) - n_r
         gt_rels[i, :n_r] = rels[:n_r]
         gt_rel_mask[i, :n_r] = True
         image_ids[i] = e["index"]
@@ -98,7 +109,21 @@ def collate(entries: Sequence[dict], budgets: C.PadBudgets | None = None,
     return Batch(images=images, im_hw=im_hw, im_scale=im_scale,
                  gt_boxes=gt_boxes, gt_classes=gt_classes, gt_mask=gt_mask,
                  gt_rels=gt_rels, gt_rel_mask=gt_rel_mask, image_ids=image_ids,
-                 proposals=props, proposal_mask=prop_mask)
+                 proposals=props, proposal_mask=prop_mask,
+                 truncation=truncation)
+
+
+def measure_gt_budgets(dataset) -> tuple[int, int]:
+    """Load-time scan of the dataset's per-image GT maxima: returns
+    (max boxes/img, max rels/img). The reference never caps GT
+    (dataloaders/visual_genome.py:313-330), so padded budgets must cover
+    these maxima or recall is silently lost — the Loader warns when they
+    don't. Cheap: the GT lists are already in memory after load_graphs."""
+    boxes = getattr(dataset, "gt_classes", None)
+    rels = getattr(dataset, "relationships", None)
+    max_b = max((len(b) for b in boxes), default=0) if boxes is not None else 0
+    max_r = max((len(r) for r in rels), default=0) if rels is not None else 0
+    return int(max_b), int(max_r)
 
 
 def _load_chunk(dataset, chunk, budgets) -> Batch:
@@ -166,6 +191,41 @@ class Loader:
         if batch_size % self.process_count:
             raise ValueError(f"global batch {batch_size} not divisible by "
                              f"{self.process_count} hosts")
+        # epoch-level GT truncation telemetry (reset every __iter__)
+        self.trunc_totals = np.zeros(3, np.int64)
+        self.trunc_images = 0
+        self.total_images = 0
+        max_b, max_r = measure_gt_budgets(dataset)
+        if max_b > self.budgets.max_gt_boxes or max_r > self.budgets.max_gt_rels:
+            print(f"[Loader] WARNING: GT budgets under dataset maxima — "
+                  f"max boxes/img {max_b} vs budget "
+                  f"{self.budgets.max_gt_boxes}, max rels/img {max_r} vs "
+                  f"budget {self.budgets.max_gt_rels}. Over-budget GT is "
+                  f"TRUNCATED (the reference keeps all GT) and costs recall;"
+                  f" raise -max_gt_boxes/-max_gt_rels to cover the maxima.",
+                  flush=True)
+
+    def _account(self, batch: Batch) -> Batch:
+        if batch.truncation is not None:
+            self.trunc_totals += batch.truncation.sum(axis=0, dtype=np.int64)
+            self.trunc_images += int((batch.truncation.sum(axis=1) > 0).sum())
+            self.total_images += batch.truncation.shape[0]
+        return batch
+
+    def truncation_report(self) -> str:
+        """One-line epoch summary of GT dropped by the padding budgets."""
+        b, re, rb = (int(v) for v in self.trunc_totals)
+        if b == 0 and re == 0 and rb == 0:
+            return (f"[Loader] GT truncation: none "
+                    f"({self.total_images} images within budgets)")
+        return (f"[Loader] WARNING: GT truncated on {self.trunc_images}/"
+                f"{self.total_images} images — {b} boxes over "
+                f"max_gt_boxes={self.budgets.max_gt_boxes}, {re} rels lost "
+                f"to truncated endpoints, {rb} rels over "
+                f"max_gt_rels={self.budgets.max_gt_rels}. These GT entries "
+                f"are invisible to the model but still counted by the "
+                f"evaluator: recall is silently capped below the "
+                f"reference's. Raise the budgets.")
 
     def __len__(self):
         n = len(self.dataset)
@@ -192,7 +252,16 @@ class Loader:
 
     def __iter__(self):
         """Prefetched iteration: decode + collate overlap the device step.
-        num_workers=1 -> one background thread; >1 -> process pool."""
+        num_workers=1 -> one background thread; >1 -> process pool.
+        Truncation telemetry resets each epoch and accumulates as batches
+        are yielded (works for the pool path too: counts ride the Batch)."""
+        self.trunc_totals = np.zeros(3, np.int64)
+        self.trunc_images = 0
+        self.total_images = 0
+        for batch in self._iter_raw():
+            yield self._account(batch)
+
+    def _iter_raw(self):
         if self.num_workers > 1:
             yield from self._iter_pool()
             return

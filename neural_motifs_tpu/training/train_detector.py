@@ -120,6 +120,7 @@ def main(argv=None):
                 dt = (time.time() - t0) / (bi + 1)
                 print(f"e{epoch}b{bi} {dt:.3f}s/b "
                       f"{ {k: float(v) for k, v in losses.items()} }", flush=True)
+        print(train_loader.truncation_report(), flush=True)
         if cfg.save_dir:
             ckpt_lib.save_checkpoint(f"{cfg.save_dir}/vg-{epoch}.mp", state,
                                      sched=sched)

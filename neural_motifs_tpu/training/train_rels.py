@@ -49,7 +49,7 @@ def build_model(cfg: C.ModelConfig, train_data, dtype=None):
     kw = dict(num_classes=train_data.num_classes,
               num_rels=train_data.num_predicates, mode=cfg.mode,
               use_proposals=cfg.use_proposals, budgets=cfg.budgets,
-              use_resnet=cfg.use_resnet,
+              use_resnet=cfg.use_resnet, obj_dim=cfg.obj_dim,
               dtype=dtype or jnp.dtype(cfg.compute_dtype))
     if cls is RelModel:
         kw.update(embed_vecs=embed, decoder_embed_vecs=dec_embed,
@@ -63,13 +63,28 @@ def build_model(cfg: C.ModelConfig, train_data, dtype=None):
     return cls(**kw)
 
 
-def val_epoch(model, state, val_loader, val_data, cfg, eval_fn):
+def val_epoch(model, state, val_loader, val_data, cfg, eval_fn, mesh=None):
+    """Validation epoch. With a mesh, eval runs the same SPMD story as
+    training: params/batch_stats replicated once, every batch sharded over
+    the 'data' axis, XLA partitioning the (collective-free) eval graph —
+    the TPU-native analog of the reference's per-GPU result gather
+    (lib/rel_model.py:549-560). device_get reassembles the global
+    SGPrediction on the host."""
     evaluator = BasicSceneGraphEvaluator.all_modes()
+    from neural_motifs_tpu.utils.observe import PairBudgetTelemetry
+    pairs_tel = PairBudgetTelemetry(cfg.budgets.max_pairs_eval)
+    params, batch_stats = state.params, state.batch_stats
+    if mesh is not None and mesh.size > 1:
+        from neural_motifs_tpu.parallel.mesh import replicated
+        params = jax.device_put(params, replicated(mesh))
+        batch_stats = jax.device_put(batch_stats, replicated(mesh))
 
     def consume(batch, pred):
         # fetched only after the NEXT batch is dispatched, so the host
         # transfer + evaluator overlap device compute (pipelined eval loop)
-        for i, entry in enumerate(prediction_to_entries(jax.device_get(pred))):
+        pred = jax.device_get(pred)
+        pairs_tel.update(pred.num_valid_pairs)
+        for i, entry in enumerate(prediction_to_entries(pred)):
             idx = int(batch.image_ids[i])
             gt = {"gt_classes": val_data.gt_classes[idx].copy(),
                   "gt_relations": val_data.relationships[idx].copy(),
@@ -78,12 +93,15 @@ def val_epoch(model, state, val_loader, val_data, cfg, eval_fn):
 
     pending = None
     for bi, batch in enumerate(val_loader):
-        pred = eval_fn(state.params, state.batch_stats, batch_kwargs(batch))
+        dev_batch = shard_batch(batch, mesh) if mesh is not None else batch
+        pred = eval_fn(params, batch_stats, batch_kwargs(dev_batch))
         if pending is not None:
             consume(*pending)
         pending = (batch, pred)
     if pending is not None:
         consume(*pending)
+    if pairs_tel.images:
+        print(pairs_tel.report(), flush=True)
     evaluator[cfg.mode].print_stats()
     return evaluator[cfg.mode].mean_recall(100)
 
@@ -119,7 +137,7 @@ def main(argv=None):
     if cfg.ckpt:
         if cfg.ckpt.endswith((".tar", ".pth", ".pt")):
             loaded, loaded_stats = ckpt_lib.import_reference_rel_model(
-                cfg.ckpt, hidden_dim=cfg.hidden_dim, obj_dim=4096,
+                cfg.ckpt, hidden_dim=cfg.hidden_dim, obj_dim=cfg.obj_dim,
                 embed_dim=cfg.embed_dim, nl_obj=cfg.nl_obj, nl_edge=cfg.nl_edge,
                 pooling_dim=cfg.pooling_dim,
                 pass_in_obj_feats_to_decoder=cfg.pass_in_obj_feats_to_decoder,
@@ -160,10 +178,13 @@ def main(argv=None):
                 print(f"e{epoch}b{bi}/{len(train_loader)} {dt:.3f}s/batch "
                       f"{dt * len(train_loader) / 60:.1f}m/epoch  {mean}",
                       flush=True)
+        print(train_loader.truncation_report(), flush=True)
         if cfg.save_dir:
             ckpt_lib.save_checkpoint(f"{cfg.save_dir}/vgrel-{epoch}.mp", state,
                                      sched=sched)
-        r100 = val_epoch(model, state, val_loader, val, cfg, eval_fn)
+        r100 = val_epoch(model, state, val_loader, val, cfg, eval_fn,
+                         mesh=mesh)
+        print(val_loader.truncation_report(), flush=True)
         scale = sched.step(r100)
         if scale != base_scale:
             # inject the new scale; momentum buffers survive (ADVICE r1)

@@ -66,3 +66,41 @@ def maybe_profile(trace_dir: str | None):
             yield
     else:
         yield
+
+
+class PairBudgetTelemetry:
+    """Exactness accounting for eval pair compaction (max_pairs_eval).
+
+    Compaction keeps the top-`budget` valid pairs per image; it is exact iff
+    the pre-compaction valid-pair count (SGPrediction.num_valid_pairs) fits
+    the budget. The reference scores EVERY candidate pair
+    (lib/rel_model.py:416-437), so any overflow silently caps recall — this
+    aggregates and reports it per epoch ("no silent caps")."""
+
+    def __init__(self, budget: int):
+        self.budget = int(budget)
+        self.images = 0
+        self.overflow_images = 0
+        self.dropped_pairs = 0
+        self.max_valid = 0
+
+    def update(self, num_valid_pairs) -> None:
+        if num_valid_pairs is None:
+            return
+        nv = np.asarray(num_valid_pairs).astype(np.int64)
+        self.images += int(nv.size)
+        over = nv - self.budget
+        self.overflow_images += int((over > 0).sum())
+        self.dropped_pairs += int(np.clip(over, 0, None).sum())
+        if nv.size:
+            self.max_valid = max(self.max_valid, int(nv.max()))
+
+    def report(self) -> str:
+        if self.overflow_images == 0:
+            return (f"[pairs] compaction budget {self.budget}: EXACT on all "
+                    f"{self.images} images (max valid pairs {self.max_valid})")
+        return (f"[pairs] WARNING: compaction budget {self.budget} overflowed "
+                f"on {self.overflow_images}/{self.images} images "
+                f"({self.dropped_pairs} valid pairs dropped, max valid "
+                f"{self.max_valid}). Results are NOT exact vs the reference "
+                f"(it scores every pair) — raise -max_pairs_eval.")

@@ -153,6 +153,50 @@ def test_masked_batchnorm_matches_torch(rng):
         rtol=1e-4, atol=1e-4)
 
 
+def test_union_mask_bn_ignores_padded_pairs(rng):
+    """The union-mask conv BNs (reference get_union_boxes.py:31-39 sees only
+    real pairs) must not let padded/invalid pairs move the training batch
+    statistics: swapping garbage content in the invalid pair slots must leave
+    updated running stats (and valid-pair outputs) bitwise unchanged."""
+    from neural_motifs_tpu.models.rel_model import UnionBoxesAndFeats
+
+    b, o, p, hw, cf = 1, 4, 6, 16, 16   # cf == conv dim (pools + mask-conv sum)
+    fmap = jnp.asarray(rng.randn(b, hw, hw, cf).astype(np.float32))
+    boxes = np.zeros((b, o, 4), np.float32)
+    for i in range(o):
+        boxes[0, i] = [10 * i, 5 * i, 10 * i + 40, 5 * i + 30]
+    boxes = jnp.asarray(boxes)
+    sub = np.array([[0, 1, 2, 0, 0, 0]], np.int32)
+    obj = np.array([[1, 2, 3, 0, 0, 0]], np.int32)
+    valid = jnp.asarray(np.array([[1, 1, 1, 0, 0, 0]], bool))
+
+    # variant: same valid pairs, different garbage in the padded slots
+    sub2 = sub.copy()
+    obj2 = obj.copy()
+    sub2[0, 3:] = [3, 2, 1]
+    obj2[0, 3:] = [0, 0, 3]
+
+    mod = UnionBoxesAndFeats(pooling_size=7, dim=16, dtype=jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(0), fmap, boxes,
+                         jnp.asarray(sub), jnp.asarray(obj), valid, train=False)
+
+    def run(s, ob):
+        out, mut = mod.apply(variables, fmap, boxes, jnp.asarray(s),
+                             jnp.asarray(ob), valid, train=True,
+                             mutable=["batch_stats"])
+        return np.asarray(out), jax.device_get(mut["batch_stats"])
+
+    out1, stats1 = run(sub, obj)
+    out2, stats2 = run(sub2, obj2)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, stats1, stats2)
+    np.testing.assert_array_equal(out1[:, :3], out2[:, :3])
+    # and the stats must have actually moved off the init values
+    init_stats = jax.device_get(variables["batch_stats"])
+    moved = jax.tree_util.tree_leaves(jax.tree_util.tree_map(
+        lambda a, b2: bool(np.any(a != b2)), stats1, init_stats))
+    assert any(moved)
+
+
 def test_set_lr_scale_preserves_momentum(rng):
     """After an lr drop, the next update must equal lr*scale*(m*mu + g) with
     the momentum buffer m carried over — NOT reset to zero."""

@@ -41,6 +41,56 @@ def test_loader_epoch():
     assert all(b.images.shape[0] == 4 for b in batches)
 
 
+def test_truncation_accounting():
+    """VERDICT r2 #5: over-budget GT must be counted and reported loudly —
+    the reference keeps all GT (visual_genome.py:313-330), so silent
+    truncation costs recall."""
+    ds = SyntheticVG(num_images=8)
+    budgets = C.PadBudgets(max_gt_boxes=4, max_gt_rels=2)
+
+    # fabricate an over-budget entry: 6 boxes (2 over), rels touching the
+    # truncated endpoints plus more than fit the rel budget
+    e = ds[0]
+    e["gt_boxes"] = np.tile(e["gt_boxes"][:1], (6, 1)).astype(np.float32)
+    e["gt_classes"] = np.ones(6, np.int32)
+    e["gt_relations"] = np.array(
+        [[0, 1, 1], [1, 2, 1], [2, 3, 1], [0, 5, 2], [4, 1, 2]], np.int32)
+    batch = collate([e], budgets)
+    # 2 boxes over budget; rels (0,5) and (4,1) lose endpoints; of the 3
+    # surviving rels, 1 exceeds max_gt_rels=2
+    np.testing.assert_array_equal(batch.truncation[0], [2, 2, 1])
+    assert batch.gt_mask[0].sum() == 4
+    assert batch.gt_rel_mask[0].sum() == 2
+
+    # in-budget batches report zero truncation
+    clean = collate([ds[i] for i in range(2)],
+                    C.PadBudgets(max_gt_boxes=64, max_gt_rels=64))
+    assert (clean.truncation == 0).all()
+
+    # Loader aggregates per epoch and reports loudly
+    class OverBudget(SyntheticVG):
+        def __getitem__(self, i):
+            entry = dict(super().__getitem__(i))
+            entry["gt_boxes"] = np.tile(entry["gt_boxes"][:1], (6, 1)).astype(
+                np.float32)
+            entry["gt_classes"] = np.ones(6, np.int32)
+            entry["gt_relations"] = np.array([[0, 5, 1]], np.int32)
+            return entry
+
+    loader = Loader(OverBudget(num_images=4), batch_size=2, shuffle=False,
+                    budgets=budgets, process_index=0, process_count=1)
+    list(loader)
+    assert loader.trunc_images == 4 and loader.total_images == 4
+    np.testing.assert_array_equal(loader.trunc_totals, [8, 4, 0])
+    assert "WARNING" in loader.truncation_report()
+
+    ok = Loader(SyntheticVG(num_images=4), batch_size=2, shuffle=False,
+                budgets=C.PadBudgets(max_gt_boxes=64, max_gt_rels=64),
+                process_index=0, process_count=1)
+    list(ok)
+    assert "none" in ok.truncation_report()
+
+
 def test_get_counts_and_bias():
     ds = SyntheticVG(num_images=12, num_classes=10, num_predicates=6)
     fg, bg = get_counts(ds, must_overlap=False)

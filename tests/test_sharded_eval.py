@@ -1,0 +1,74 @@
+"""Sharded eval path (VERDICT r2 #7): val_epoch over an 8-device data mesh
+must produce recalls identical to the single-device run — the eval analog of
+test_dp_and_loader, replacing the reference's per-GPU result gather
+(lib/rel_model.py:549-560) with SPMD batch sharding + host device_get."""
+
+import types
+
+import numpy as np
+import jax
+import pytest
+
+from neural_motifs_tpu import config as C
+from neural_motifs_tpu.data.batching import Batch
+from neural_motifs_tpu.parallel.mesh import make_mesh
+from neural_motifs_tpu.training.train_rels import val_epoch
+
+
+class _FakeVal:
+    """val_data protocol consumed by val_epoch: per-image GT lists at
+    BOX_SCALE coordinates (prediction_to_entries rescales predictions by
+    BOX_SCALE/IM_SCALE, so the GT here mirrors that to make boxes match)."""
+
+    def __init__(self, gt_boxes, gt_classes, gt_rels, gt_mask, gt_rel_mask):
+        s = C.BOX_SCALE / C.IM_SCALE
+        self.gt_boxes = [gt_boxes[i][gt_mask[i]] * s for i in range(len(gt_boxes))]
+        self.gt_classes = [gt_classes[i][gt_mask[i]] for i in range(len(gt_boxes))]
+        self.relationships = [gt_rels[i][gt_rel_mask[i]] for i in range(len(gt_boxes))]
+
+
+def _setup():
+    from __graft_entry__ import _tiny_setup
+
+    n = 16
+    model, big = _tiny_setup(num_images=n, mode="predcls")
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, train=True, **big)
+    state = types.SimpleNamespace(params=variables["params"],
+                                  batch_stats=variables.get("batch_stats", {}))
+
+    batches = []
+    for s0 in (0, 8):
+        sl = slice(s0, s0 + 8)
+        batches.append(Batch(
+            images=big["images"][sl], im_hw=big["im_hw"][sl],
+            im_scale=np.ones(8, np.float32),
+            gt_boxes=big["gt_boxes"][sl], gt_classes=big["gt_classes"][sl],
+            gt_mask=big["gt_mask"][sl], gt_rels=big["gt_rels"][sl],
+            gt_rel_mask=big["gt_rel_mask"][sl],
+            image_ids=np.arange(s0, s0 + 8, dtype=np.int32)))
+    val_data = _FakeVal(big["gt_boxes"], big["gt_classes"], big["gt_rels"],
+                        big["gt_mask"], big["gt_rel_mask"])
+    cfg = types.SimpleNamespace(mode="predcls", budgets=C.PadBudgets())
+    eval_fn = jax.jit(lambda p, bs, kw: model.apply(
+        {"params": p, "batch_stats": bs}, train=False,
+        rngs={"sample": jax.random.PRNGKey(0)}, **kw))
+    return state, batches, val_data, cfg, eval_fn
+
+
+def test_val_epoch_mesh_matches_single_device():
+    assert len(jax.devices()) >= 8
+    state, batches, val_data, cfg, eval_fn = _setup()
+
+    r_single = val_epoch(None, state, list(batches), val_data, cfg, eval_fn,
+                         mesh=None)
+    r_mesh1 = val_epoch(None, state, list(batches), val_data, cfg, eval_fn,
+                        mesh=make_mesh(num_data=1))
+    r_mesh8 = val_epoch(None, state, list(batches), val_data, cfg, eval_fn,
+                        mesh=make_mesh(num_data=8))
+
+    # power check: predcls with GT boxes/classes must recall something
+    assert r_single > 0.0, "degenerate test: zero recall has no power"
+    assert r_mesh1 == pytest.approx(r_single, abs=0)
+    assert r_mesh8 == pytest.approx(r_single, abs=1e-12)
