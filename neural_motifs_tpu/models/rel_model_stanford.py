@@ -20,14 +20,15 @@ from neural_motifs_tpu import config as C
 from neural_motifs_tpu.models.detector import ObjectDetector, filter_det
 from neural_motifs_tpu.models.rel_model import (RelOutput, SGPrediction,
                                                 UnionBoxesAndFeats, UnionVGGHead,
-                                                all_pair_indices)
+                                                all_pair_indices,
+                                                pair_visual_rep)
 from neural_motifs_tpu.models.backbone import VGGRoIHead
 from neural_motifs_tpu.ops import boxes as box_ops
 from neural_motifs_tpu.ops.roi_align import roi_align
 from neural_motifs_tpu.ops.sampling import RelSample, rel_assign_sgdet
 
 Array = jax.Array
-SIZE = 512
+SIZE = 512   # reference hidden size (rel_model_stanford.py:18)
 
 
 class RelModelStanford(nn.Module):
@@ -37,6 +38,8 @@ class RelModelStanford(nn.Module):
     num_rels: int = C.VG_NUM_PREDICATES
     mode: str = "sgdet"
     obj_dim: int = 4096
+    pooling_dim: int = 4096   # union tower width (reference hardcodes 4096)
+    size: int = SIZE          # GRU hidden (reference SIZE=512)
     n_iter: int = 3
     thresh: float = 0.01
     require_overlap_det: bool = True
@@ -55,17 +58,17 @@ class RelModelStanford(nn.Module):
         self.detector = ObjectDetector(
             num_classes=self.num_classes, mode=det_mode, thresh=self.thresh,
             max_per_img=self.budgets.objs_per_img, dtype=self.dtype,
-            budgets=self.budgets)
+            obj_dim=self.obj_dim, budgets=self.budgets)
         self.union_boxes = UnionBoxesAndFeats(pooling_size=7, dim=512,
                                               dtype=self.dtype)
-        self.roi_fmap = UnionVGGHead(pooling_dim=4096, fc_dim=self.obj_dim,
-                                     dtype=self.dtype)
+        self.roi_fmap = UnionVGGHead(pooling_dim=self.pooling_dim,
+                                     fc_dim=self.obj_dim, dtype=self.dtype)
         self.roi_fmap_obj = VGGRoIHead(fc_dim=self.obj_dim, dtype=self.dtype)
 
-        self.obj_unary = nn.Dense(SIZE)
-        self.edge_unary = nn.Dense(SIZE)
-        self.edge_gru = nn.GRUCell(features=SIZE)
-        self.node_gru = nn.GRUCell(features=SIZE)
+        self.obj_unary = nn.Dense(self.size)
+        self.edge_unary = nn.Dense(self.size)
+        self.edge_gru = nn.GRUCell(features=self.size)
+        self.node_gru = nn.GRUCell(features=self.size)
         self.sub_vert_w_fc = nn.Dense(1)
         self.obj_vert_w_fc = nn.Dense(1)
         self.out_edge_w_fc = nn.Dense(1)
@@ -80,8 +83,8 @@ class RelModelStanford(nn.Module):
         pv = pairs.valid[..., None].astype(rel_rep.dtype)
         take = lambda x, i: jnp.take_along_axis(x, i[..., None], axis=1)
 
-        hx_obj = jnp.zeros((b, o, SIZE), obj_rep.dtype)
-        hx_rel = jnp.zeros(rel_rep.shape[:2] + (SIZE,), rel_rep.dtype)
+        hx_obj = jnp.zeros((b, o, self.size), obj_rep.dtype)
+        hx_rel = jnp.zeros(rel_rep.shape[:2] + (self.size,), rel_rep.dtype)
         vert, _ = self.node_gru(hx_obj, obj_rep)
         edge, _ = self.edge_gru(hx_rel, rel_rep)
 
@@ -109,7 +112,10 @@ class RelModelStanford(nn.Module):
 
         return self.obj_fc(vert), self.rel_fc(edge)
 
-    def _rel_pairs(self, det, train: bool, gt) -> RelSample:
+    def _rel_pairs(self, det, train: bool, gt):
+        """Returns (RelSample, num_valid_pairs) — see RelModel._rel_pairs.
+        Stanford scores every candidate pair (no compaction), so
+        num_valid_pairs is purely informational here."""
         b, o = det.rm_valid.shape
         if train:
             if self.mode == "sgdet":
@@ -121,8 +127,8 @@ class RelModelStanford(nn.Module):
                         rels_per_img=self.budgets.rels_per_img_refine))(
                     jax.random.split(rng, b), det.rm_boxes, det.rm_obj_labels,
                     det.rm_valid, gt["boxes"], gt["classes"], gt["mask"],
-                    gt["rels"], gt["rel_mask"])
-            return det.rel_sample
+                    gt["rels"], gt["rel_mask"]), None
+            return det.rel_sample, None
         sub_np, obj_np = all_pair_indices(o)
         sub = jnp.broadcast_to(jnp.asarray(sub_np), (b, len(sub_np)))
         obj = jnp.broadcast_to(jnp.asarray(obj_np), (b, len(obj_np)))
@@ -132,7 +138,9 @@ class RelModelStanford(nn.Module):
             iou = box_ops.bbox_overlaps(det.rm_boxes, det.rm_boxes,
                                         det.rm_valid, det.rm_valid)
             valid = valid & (jax.vmap(lambda m, s, t: m[s, t])(iou, sub, obj) > 0)
-        return RelSample(sub=sub, obj=obj, label=jnp.zeros_like(sub), valid=valid)
+        return (RelSample(sub=sub, obj=obj, label=jnp.zeros_like(sub),
+                          valid=valid),
+                valid.sum(axis=1).astype(jnp.int32))
 
     def __call__(self, images, im_hw, gt_boxes=None, gt_classes=None,
                  gt_mask=None, gt_rels=None, gt_rel_mask=None, proposals=None,
@@ -145,25 +153,16 @@ class RelModelStanford(nn.Module):
         fmap = jax.lax.stop_gradient(det.fmap)
         if det.boxes_all is not None:
             det = det._replace(boxes_all=jax.lax.stop_gradient(det.boxes_all))
-        pairs = self._rel_pairs(det, train,
-                                dict(boxes=gt_boxes, classes=gt_classes,
-                                     mask=gt_mask, rels=gt_rels,
-                                     rel_mask=gt_rel_mask))
+        pairs, num_valid_pairs = self._rel_pairs(
+            det, train, dict(boxes=gt_boxes, classes=gt_classes,
+                             mask=gt_mask, rels=gt_rels,
+                             rel_mask=gt_rel_mask))
 
         # visual rep over union boxes (NOT detached in the reference,
         # rel_model_stanford.py:149 — but the detector is frozen anyway);
-        # chunked over pairs as in RelModel
-        p_total = pairs.sub.shape[1]
-        chunk = 512
-        vr_parts = []
-        for s0 in range(0, p_total, chunk):
-            sl = slice(s0, min(s0 + chunk, p_total))
-            up = self.union_boxes(fmap, boxes, pairs.sub[:, sl],
-                                  pairs.obj[:, sl], pairs.valid[:, sl],
-                                  train=train)
-            vr_parts.append(self.roi_fmap(up, train=train))
-        visual_rep = (vr_parts[0] if len(vr_parts) == 1
-                      else jnp.concatenate(vr_parts, axis=1))
+        # chunked/scanned over pairs exactly as in RelModel
+        visual_rep = pair_visual_rep(self, fmap, boxes, pairs, train,
+                                     chunk=512)
 
         pooled = roi_align(fmap, boxes, valid, 7, 1.0 / C.FEAT_STRIDE)
         obj_fmap = self.roi_fmap_obj(pooled, train=train).astype(jnp.float32)
@@ -178,9 +177,11 @@ class RelModelStanford(nn.Module):
                              rel_labels=pairs.label, rel_valid=pairs.valid,
                              det=det)
         return self._decode(det, obj_dists, rel_dists, pairs,
-                            gt_classes=gt_classes)
+                            gt_classes=gt_classes,
+                            num_valid_pairs=num_valid_pairs)
 
-    def _decode(self, det, obj_dists, rel_dists, pairs, gt_classes=None):
+    def _decode(self, det, obj_dists, rel_dists, pairs, gt_classes=None,
+                num_valid_pairs=None):
         """Test-time decode (rel_model_stanford.py:162-204)."""
         b, o, _ = obj_dists.shape
         if self.mode == "predcls":
@@ -219,4 +220,5 @@ class RelModelStanford(nn.Module):
         return SGPrediction(boxes=bboxes, obj_classes=obj_preds,
                             obj_scores=obj_scores, obj_valid=det.rm_valid,
                             rel_inds=rel_inds, rel_scores=rel_scores,
-                            rel_valid=take(pairs.valid, order))
+                            rel_valid=take(pairs.valid, order),
+                            num_valid_pairs=num_valid_pairs)

@@ -263,6 +263,31 @@ def _split_lstm_flat(flat_w: np.ndarray, flat_b: np.ndarray, input_size: int,
     return out
 
 
+def _gru_import(sd: dict, prefix: str) -> dict:
+    """torch nn.GRUCell -> flax nn.GRUCell param tree.
+
+    torch packs weight_ih/weight_hh as [3H, *] with gate rows (r, z, n) and
+    carries TWO bias vectors; flax splits per-gate Dense layers where the
+    recurrent r/z projections have no bias (they are summed with the input
+    projection, so b_hr/b_hz fold into ir/iz) and hn keeps its own bias
+    (torch applies r INSIDE: n = tanh(W_in x + b_in + r*(W_hn h + b_hn)),
+    exactly flax's form)."""
+    w_ih = np.asarray(sd[f"{prefix}.weight_ih"])
+    w_hh = np.asarray(sd[f"{prefix}.weight_hh"])
+    b_ih = np.asarray(sd[f"{prefix}.bias_ih"])
+    b_hh = np.asarray(sd[f"{prefix}.bias_hh"])
+    h = w_hh.shape[1]
+    return {
+        "ir": {"kernel": w_ih[:h].T, "bias": b_ih[:h] + b_hh[:h]},
+        "iz": {"kernel": w_ih[h:2 * h].T,
+               "bias": b_ih[h:2 * h] + b_hh[h:2 * h]},
+        "in": {"kernel": w_ih[2 * h:].T, "bias": b_ih[2 * h:]},
+        "hr": {"kernel": w_hh[:h].T},
+        "hz": {"kernel": w_hh[h:2 * h].T},
+        "hn": {"kernel": w_hh[2 * h:].T, "bias": b_hh[2 * h:]},
+    }
+
+
 def import_reference_rel_model(path_or_sd, *, hidden_dim: int, obj_dim: int,
                                embed_dim: int, nl_obj: int, nl_edge: int,
                                pooling_dim: int,
@@ -339,6 +364,20 @@ def import_reference_rel_model(path_or_sd, *, hidden_dim: int, obj_dim: int,
         ctx["edge_ctx_rnn"] = {k: v for d in layers for k, v in d.items()}
     if ctx:
         p["context"] = ctx
+
+    # Stanford message-passing head (rel_model_stanford.py:41-58): unary
+    # projections, the two GRU cells, four sigmoid gate fcs and the heads.
+    # The gate fcs are Sequential(Linear, Sigmoid) in torch -> key ".0".
+    if "edge_gru.weight_ih" in sd:
+        p["edge_gru"] = _gru_import(sd, "edge_gru")
+        p["node_gru"] = _gru_import(sd, "node_gru")
+        for nm in ("obj_unary", "edge_unary", "obj_fc", "rel_fc"):
+            p[nm] = {"kernel": _lin_t(sd[f"{nm}.weight"]),
+                     "bias": np.asarray(sd[f"{nm}.bias"])}
+        for nm in ("sub_vert_w_fc", "obj_vert_w_fc", "out_edge_w_fc",
+                   "in_edge_w_fc"):
+            p[nm] = {"kernel": _lin_t(sd[f"{nm}.0.weight"]),
+                     "bias": np.asarray(sd[f"{nm}.0.bias"])}
 
     if "post_lstm.weight" in sd:
         p["post_lstm"] = {"kernel": _lin_t(sd["post_lstm.weight"]),

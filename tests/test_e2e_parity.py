@@ -47,7 +47,9 @@ def lstm_flat_sizes(d_in, h, layers):
     return n, layers * 5 * h
 
 
-def fabricate_full_sd(rng):
+def fabricate_full_sd(rng, *, nc=NC, nprd=NP, obj_dim=OBJ_DIM,
+                      pool_dim=POOL_DIM, embed_dim=EMBED_DIM, hid=HID,
+                      nl_obj=NL_OBJ, nl_edge=NL_EDGE):
     sd = {}
 
     def lin(name, o, i, s=0.3):
@@ -60,38 +62,38 @@ def fabricate_full_sd(rng):
 
     for idx, (o, i) in zip(_VGG_IDX, _VGG_SHAPES):
         conv(f"detector.features.{idx}", o, i, 3, s=1.6)
-    lin("detector.roi_fmap.0", OBJ_DIM, 25088, s=1.0)
-    lin("detector.roi_fmap.3", OBJ_DIM, OBJ_DIM, s=1.0)
-    lin("detector.score_fc", NC, OBJ_DIM, s=6.0)
-    lin("detector.bbox_fc", NC * 4, OBJ_DIM)
+    lin("detector.roi_fmap.0", obj_dim, 25088, s=1.0)
+    lin("detector.roi_fmap.3", obj_dim, obj_dim, s=1.0)
+    lin("detector.score_fc", nc, obj_dim, s=6.0)
+    lin("detector.bbox_fc", nc * 4, obj_dim)
     conv("detector.rpn_head.conv.0", 512, 512, 3)
     conv("detector.rpn_head.conv.2", 20 * 6, 512, 1)
 
-    lin("roi_fmap.1.0", OBJ_DIM, 25088, s=1.0)
-    lin("roi_fmap.1.3", POOL_DIM, OBJ_DIM, s=1.0)
-    lin("roi_fmap_obj.0", OBJ_DIM, 25088, s=1.0)
-    lin("roi_fmap_obj.3", OBJ_DIM, OBJ_DIM, s=1.0)
+    lin("roi_fmap.1.0", obj_dim, 25088, s=1.0)
+    lin("roi_fmap.1.3", pool_dim, obj_dim, s=1.0)
+    lin("roi_fmap_obj.0", obj_dim, 25088, s=1.0)
+    lin("roi_fmap_obj.3", obj_dim, obj_dim, s=1.0)
 
-    sd["context.obj_embed.weight"] = rng.randn(NC, EMBED_DIM).astype(np.float32)
-    sd["context.obj_embed2.weight"] = rng.randn(NC, EMBED_DIM).astype(np.float32)
+    sd["context.obj_embed.weight"] = rng.randn(nc, embed_dim).astype(np.float32)
+    sd["context.obj_embed2.weight"] = rng.randn(nc, embed_dim).astype(np.float32)
     sd["context.pos_embed.0.weight"] = (1 + 0.2 * rng.randn(4)).astype(np.float32)
     sd["context.pos_embed.0.bias"] = (0.1 * rng.randn(4)).astype(np.float32)
     sd["context.pos_embed.0.running_mean"] = (rng.randn(4) * 30).astype(np.float32)
     sd["context.pos_embed.0.running_var"] = (np.abs(rng.randn(4)) * 20 + 1).astype(np.float32)
     lin("context.pos_embed.1", 128, 4, s=1.0)
 
-    d_in_obj = OBJ_DIM + EMBED_DIM + 128
-    nw, nb = lstm_flat_sizes(d_in_obj, HID, NL_OBJ)
+    d_in_obj = obj_dim + embed_dim + 128
+    nw, nb = lstm_flat_sizes(d_in_obj, hid, nl_obj)
     sd["context.obj_ctx_rnn.weight"] = (rng.randn(nw) * 0.05).astype(np.float32)
     sd["context.obj_ctx_rnn.bias"] = (rng.randn(nb) * 0.05).astype(np.float32)
 
-    sd["context.decoder_rnn.obj_embed.weight"] = rng.randn(NC + 1, 100).astype(np.float32)
-    lin("context.decoder_rnn.input_linearity", 6 * HID, HID + 100, s=1.0)
-    lin("context.decoder_rnn.state_linearity", 5 * HID, HID, s=1.0)
-    lin("context.decoder_rnn.out", NC, HID, s=3.0)
+    sd["context.decoder_rnn.obj_embed.weight"] = rng.randn(nc + 1, 100).astype(np.float32)
+    lin("context.decoder_rnn.input_linearity", 6 * hid, hid + 100, s=1.0)
+    lin("context.decoder_rnn.state_linearity", 5 * hid, hid, s=1.0)
+    lin("context.decoder_rnn.out", nc, hid, s=3.0)
 
-    e_in = EMBED_DIM + HID
-    nw, nb = lstm_flat_sizes(e_in, HID, NL_EDGE)
+    e_in = embed_dim + hid
+    nw, nb = lstm_flat_sizes(e_in, hid, nl_edge)
     sd["context.edge_ctx_rnn.weight"] = (rng.randn(nw) * 0.1).astype(np.float32)
     sd["context.edge_ctx_rnn.bias"] = (rng.randn(nb) * 0.05).astype(np.float32)
 
@@ -103,9 +105,41 @@ def fabricate_full_sd(rng):
         sd[f"union_boxes.conv.{m}.running_var"] = (np.abs(rng.randn(d)) * 0.5 + 0.5).astype(np.float32)
     conv("union_boxes.conv.4", 512, 256, 3, s=2.0)
 
-    lin("post_lstm", POOL_DIM * 2, HID, s=2.0)
-    lin("rel_compress", NP, POOL_DIM, s=3.0)
-    sd["freq_bias.obj_baseline.weight"] = rng.randn(NC * NC, NP).astype(np.float32)
+    lin("post_lstm", pool_dim * 2, hid, s=2.0)
+    lin("rel_compress", nprd, pool_dim, s=3.0)
+    sd["freq_bias.obj_baseline.weight"] = rng.randn(nc * nc, nprd).astype(np.float32)
+    return sd
+
+
+GSIZE = 32   # Stanford GRU hidden (reference: 512; layout is dim-agnostic)
+
+
+def fabricate_stanford_sd(rng):
+    """Reference-layout state dict for RelModelStanford
+    (rel_model_stanford.py:41-58): the shared detector/tower/union keys from
+    fabricate_full_sd plus the message-passing head — unary projections, two
+    torch nn.GRUCells (packed [3H, *] weights, dual biases), four
+    Sequential(Linear, Sigmoid) gate fcs, and the obj/rel heads."""
+    sd = fabricate_full_sd(rng)
+
+    def lin(name, o, i, s=1.0):
+        sd[f"{name}.weight"] = (rng.randn(o, i) * s / np.sqrt(i)).astype(np.float32)
+        sd[f"{name}.bias"] = (rng.randn(o) * 0.05).astype(np.float32)
+
+    lin("obj_unary", GSIZE, OBJ_DIM, s=2.0)
+    lin("edge_unary", GSIZE, POOL_DIM, s=2.0)
+    for gru in ("edge_gru", "node_gru"):
+        sd[f"{gru}.weight_ih"] = (rng.randn(3 * GSIZE, GSIZE)
+                                  / np.sqrt(GSIZE)).astype(np.float32)
+        sd[f"{gru}.weight_hh"] = (rng.randn(3 * GSIZE, GSIZE)
+                                  / np.sqrt(GSIZE)).astype(np.float32)
+        sd[f"{gru}.bias_ih"] = (rng.randn(3 * GSIZE) * 0.1).astype(np.float32)
+        sd[f"{gru}.bias_hh"] = (rng.randn(3 * GSIZE) * 0.1).astype(np.float32)
+    for nm in ("sub_vert_w_fc", "obj_vert_w_fc", "out_edge_w_fc",
+               "in_edge_w_fc"):
+        lin(f"{nm}.0", 1, 2 * GSIZE, s=3.0)
+    lin("obj_fc", NC, GSIZE, s=4.0)
+    lin("rel_fc", NP, GSIZE, s=4.0)
     return sd
 
 
@@ -174,6 +208,21 @@ def torch_union_conv(sd, masks):
     return x.numpy()  # [P, 512, 7, 7]
 
 
+def oracle_union_vr(sd, fmap, boxes, pairs):
+    """Union visual features for the given pairs (visual_rep,
+    rel_model.py:403-414): union-box RoIAlign + mask conv, through the union
+    fc tower."""
+    sub_b, obj_b = boxes[pairs[:, 0]], boxes[pairs[:, 1]]
+    union = np.concatenate([np.minimum(sub_b[:, :2], obj_b[:, :2]),
+                            np.maximum(sub_b[:, 2:], obj_b[:, 2:])], 1)
+    upool = oracle_roi_pool_flat(fmap, union).reshape(-1, 512, 7, 7)
+    masks = np_draw_union_boxes(
+        np.concatenate([sub_b, obj_b], 1).astype(np.float32), 27) - 0.5
+    uconv = torch_union_conv(sd, masks)
+    u = (upool + uconv).reshape(len(pairs), -1)
+    return ref.np_union_tower(sd, u, pooling_dim=POOL_DIM)
+
+
 def oracle_sgcls_image(sd, img_hwc, boxes):
     """Full reference pipeline for one image (gtbox mode, eval): returns
     (obj_dists2, obj_preds, obj_scores, rel map {(s,o): rel_dists})."""
@@ -200,17 +249,7 @@ def oracle_sgcls_image(sd, img_hwc, boxes):
     # all ordered pairs (get_rel_inds eval, rel_model.py:420-437)
     n = len(boxes)
     pairs = np.array([(i, j) for i in range(n) for j in range(n) if i != j])
-
-    # union visual features (visual_rep, rel_model.py:403-414)
-    sub_b, obj_b = boxes[pairs[:, 0]], boxes[pairs[:, 1]]
-    union = np.concatenate([np.minimum(sub_b[:, :2], obj_b[:, :2]),
-                            np.maximum(sub_b[:, 2:], obj_b[:, 2:])], 1)
-    upool = oracle_roi_pool_flat(fmap, union).reshape(-1, 512, 7, 7)
-    masks = np_draw_union_boxes(
-        np.concatenate([sub_b, obj_b], 1).astype(np.float32), 27) - 0.5
-    uconv = torch_union_conv(sd, masks)
-    u = (upool + uconv).reshape(len(pairs), -1)
-    vr = ref.np_union_tower(sd, u, pooling_dim=POOL_DIM)
+    vr = oracle_union_vr(sd, fmap, boxes, pairs)
 
     rel_dists = ref.np_rel_head(sd, edge_ctx, obj_preds, pairs, vr,
                                 pooling_dim=POOL_DIM, num_classes=NC,
@@ -491,3 +530,259 @@ def test_detector_sgdet_end_to_end_parity(rng):
     np.testing.assert_allclose(got_ba[:, 0], props[sel], rtol=1e-3, atol=0.15)
     np.testing.assert_allclose(got_ba[:, 1:], boxes_all[sel][:, 1:],
                                rtol=2e-3, atol=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Stanford message-passing model e2e (VERDICT r2 #2): full RelModelStanford
+# (sgcls, eval) vs the oracle composition of the reference pipeline
+# (rel_model_stanford.py:60-107 message_pass + :162-204 decode) sharing only
+# a fabricated reference-layout state dict through the real importer.
+# ---------------------------------------------------------------------------
+
+def make_stanford_sd(rng):
+    """fabricate_stanford_sd minus the MotifNet-only keys the reference
+    deletes in __init__ (rel_model_stanford.py:38-40: del context,
+    post_lstm, post_emb) — mirrors the real vgrel-stanford checkpoint
+    layout so the strict leaf-landing check below is meaningful."""
+    sd = fabricate_stanford_sd(rng)
+    for k in [k for k in sd
+              if k.startswith("context.") or k.startswith("post_lstm.")
+              or k.startswith("rel_compress.") or k.startswith("freq_bias.")]:
+        del sd[k]
+    return sd
+
+
+def oracle_stanford_sgcls_image(sd, img_hwc, boxes, n_iter=3):
+    """Reference Stanford pipeline for one image (gtbox mode, eval):
+    visual_rep over all ordered pairs -> relu(edge_unary) / obj_unary ->
+    message_pass -> sgcls decode (rel_model_stanford.py:149-160, :185-190).
+    Returns (obj_preds, obj_scores, {(s, o): rel_dists})."""
+    fmap = torch_vgg_features(sd, img_hwc)
+    n = len(boxes)
+    pairs = np.array([(i, j) for i in range(n) for j in range(n) if i != j])
+    vr = oracle_union_vr(sd, fmap, boxes, pairs)
+
+    det_pool = oracle_roi_pool_flat(fmap, boxes)
+    obj_fmap = ref.np_obj_tower(sd, det_pool)
+
+    rel_rep = np.maximum(ref.np_linear(vr, sd["edge_unary.weight"],
+                                       sd["edge_unary.bias"]), 0.0)
+    obj_rep = ref.np_linear(obj_fmap, sd["obj_unary.weight"],
+                            sd["obj_unary.bias"])
+    obj_dists, rel_dists = ref.np_stanford_message_pass(
+        sd, rel_rep, obj_rep, pairs, n_iter=n_iter)
+
+    probs = ref.np_softmax(obj_dists, -1)
+    obj_preds = probs[:, 1:].argmax(-1) + 1          # :186-190 (sgcls branch)
+    obj_scores = probs[:, 1:].max(-1)
+    relmap = {(int(s), int(o)): rel_dists[k] for k, (s, o) in enumerate(pairs)}
+    return obj_preds, obj_scores, relmap
+
+
+def build_stanford(mode):
+    from neural_motifs_tpu.models.rel_model_stanford import RelModelStanford
+
+    budgets = C.PadBudgets(max_gt_boxes=G, max_gt_rels=8, rels_per_img=16,
+                           objs_per_img=G, max_pairs_eval=G * (G - 1))
+    return RelModelStanford(
+        num_classes=NC, num_rels=NP, mode=mode, obj_dim=OBJ_DIM,
+        pooling_dim=POOL_DIM, size=GSIZE, dtype=jnp.float32, budgets=budgets)
+
+
+def import_stanford(model, variables, sd):
+    imported, imported_stats = import_reference_rel_model(
+        sd, hidden_dim=HID, obj_dim=OBJ_DIM, embed_dim=EMBED_DIM,
+        nl_obj=0, nl_edge=0, pooling_dim=POOL_DIM,
+        pass_in_obj_feats_to_decoder=False, pass_in_obj_feats_to_edge=False)
+    from flax.traverse_util import flatten_dict
+    tgt = flatten_dict(variables["params"], sep="/")
+    unused = ("detector/rpn_head/", "detector/bbox_fc/")
+    for k, v in flatten_dict(imported, sep="/").items():
+        if model.mode != "sgdet" and k.startswith(unused):
+            continue
+        assert k in tgt and tuple(np.shape(v)) == tuple(tgt[k].shape), \
+            f"importer leaf {k} {np.shape(v)} does not land on model tree"
+    params = optimistic_restore(variables["params"], imported, verbose=False)
+    batch_stats = optimistic_restore(variables["batch_stats"], imported_stats,
+                                     verbose=False)
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def test_stanford_sgcls_end_to_end_parity(rng):
+    sd = make_stanford_sd(rng)
+
+    b = 2
+    valid_counts = (4, 3)
+    images = (rng.randn(b, IM, IM, 3) * 0.4).astype(np.float32)
+    gt_boxes = np.zeros((b, G, 4), np.float32)
+    gt_classes = np.zeros((b, G), np.int32)
+    gt_mask = np.zeros((b, G), bool)
+    for i, n in enumerate(valid_counts):
+        xy = rng.uniform(0, IM * 0.5, (n, 2))
+        wh = rng.uniform(12, IM * 0.45, (n, 2))
+        gt_boxes[i, :n] = np.concatenate([xy, np.minimum(xy + wh, IM - 1)], 1)
+        gt_classes[i, :n] = rng.randint(1, NC, n)
+        gt_mask[i, :n] = True
+    im_hw = np.full((b, 2), float(IM), np.float32)
+
+    model = build_stanford("sgcls")
+    kw = dict(images=jnp.asarray(images), im_hw=jnp.asarray(im_hw),
+              gt_boxes=jnp.asarray(gt_boxes),
+              gt_classes=jnp.asarray(gt_classes), gt_mask=jnp.asarray(gt_mask),
+              gt_rels=jnp.zeros((b, 8, 3), jnp.int32),
+              gt_rel_mask=jnp.zeros((b, 8), bool))
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, train=True, **kw)
+    restored = import_stanford(model, variables, sd)
+
+    pred = model.apply(restored, train=False,
+                       rngs={"sample": jax.random.PRNGKey(0)}, **kw)
+
+    for i in range(b):
+        n = valid_counts[i]
+        exp_preds, exp_scores, exp_rel = oracle_stanford_sgcls_image(
+            sd, images[i], gt_boxes[i, :n])
+        np.testing.assert_array_equal(np.asarray(pred.obj_classes)[i, :n],
+                                      exp_preds)
+        np.testing.assert_allclose(np.asarray(pred.obj_scores)[i, :n],
+                                   exp_scores, rtol=1e-3, atol=1e-4)
+        rinds = np.asarray(pred.rel_inds)[i]
+        rscores = np.asarray(pred.rel_scores)[i]
+        rvalid = np.asarray(pred.rel_valid)[i]
+        got = {(int(s), int(o)): rscores[k]
+               for k, (s, o) in enumerate(rinds) if rvalid[k]}
+        assert set(got) == set(exp_rel), "pair sets differ"
+        for so, dists in exp_rel.items():
+            np.testing.assert_allclose(got[so], ref.np_softmax(dists, -1),
+                                       rtol=2e-3, atol=2e-4,
+                                       err_msg=f"pair {so}")
+        # triplet sort (rel_model_stanford.py:204 -> surgery.filter_dets)
+        max_rel = rscores[rvalid][:, 1:].max(-1)
+        oscore = np.asarray(pred.obj_scores)[i]
+        trip = max_rel * oscore[rinds[rvalid][:, 0]] * oscore[rinds[rvalid][:, 1]]
+        assert np.all(np.diff(trip) <= 1e-6)
+
+    # sensitivity: swapping the out/in edge gates (the exact silent-swap
+    # failure mode VERDICT r2 flags) must break rel-dist parity
+    sd_swap = dict(sd)
+    for suf in ("weight", "bias"):
+        sd_swap[f"out_edge_w_fc.0.{suf}"] = sd[f"in_edge_w_fc.0.{suf}"]
+        sd_swap[f"in_edge_w_fc.0.{suf}"] = sd[f"out_edge_w_fc.0.{suf}"]
+    pred_sw = model.apply(import_stanford(model, variables, sd_swap),
+                          train=False, rngs={"sample": jax.random.PRNGKey(0)},
+                          **kw)
+    n = valid_counts[0]
+    exp_preds, _, exp_rel = oracle_stanford_sgcls_image(
+        sd, images[0], gt_boxes[0, :n])
+    rinds = np.asarray(pred_sw.rel_inds)[0]
+    rscores = np.asarray(pred_sw.rel_scores)[0]
+    rvalid = np.asarray(pred_sw.rel_valid)[0]
+    got_sw = {(int(s), int(o)): rscores[k]
+              for k, (s, o) in enumerate(rinds) if rvalid[k]}
+    diffs = [np.abs(got_sw[so] - ref.np_softmax(d, -1)).max()
+             for so, d in exp_rel.items()]
+    assert max(diffs) > 1e-3, "gate swap undetected — test has no power"
+
+
+def test_stanford_sgdet_end_to_end_parity(rng):
+    """Full Stanford sgdet chain from a raw image: refinerels detector ->
+    overlap-gated pairs -> message passing -> filter_det-style decode with
+    boxes_all box selection (rel_model_stanford.py:168-204)."""
+    sd = make_stanford_sd(rng)
+
+    post, max_det = 16, G
+    budgets = C.PadBudgets(max_gt_boxes=G, max_gt_rels=8, rels_per_img=16,
+                           objs_per_img=max_det, max_pairs_eval=G * (G - 1),
+                           rpn_pre_nms_topn_test=720,
+                           rpn_post_nms_topn_test=post)
+    from neural_motifs_tpu.models.rel_model_stanford import RelModelStanford
+    model = RelModelStanford(
+        num_classes=NC, num_rels=NP, mode="sgdet", obj_dim=OBJ_DIM,
+        pooling_dim=POOL_DIM, size=GSIZE, dtype=jnp.float32, budgets=budgets,
+        thresh=0.01)
+
+    image = (rng.randn(IM, IM, 3) * 0.4).astype(np.float32)
+    kw = dict(images=jnp.asarray(image[None]),
+              im_hw=jnp.asarray([[float(IM), float(IM)]]))
+    init_kw = dict(kw, gt_boxes=jnp.zeros((1, G, 4)),
+                   gt_classes=jnp.zeros((1, G), jnp.int32),
+                   gt_mask=jnp.zeros((1, G), bool),
+                   gt_rels=jnp.zeros((1, 8, 3), jnp.int32),
+                   gt_rel_mask=jnp.zeros((1, 8), bool))
+    rngs = {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1),
+            "dropout": jax.random.PRNGKey(2)}
+    variables = model.init(rngs, train=True, **init_kw)
+    restored = import_stanford(model, variables, sd)
+    pred = model.apply(restored, train=False,
+                       rngs={"sample": jax.random.PRNGKey(0)}, **kw)
+
+    # ---- oracle: detector chain (reused from the MotifNet sgdet test) ----
+    fmap = torch_vgg_features(sd, image)
+    props = oracle_rpn_proposals(sd, fmap, IM, IM, post)
+    pool = oracle_roi_pool_flat(fmap, props)
+    feat = ref.np_obj_tower(
+        {"roi_fmap_obj.0.weight": sd["detector.roi_fmap.0.weight"],
+         "roi_fmap_obj.0.bias": sd["detector.roi_fmap.0.bias"],
+         "roi_fmap_obj.3.weight": sd["detector.roi_fmap.3.weight"],
+         "roi_fmap_obj.3.bias": sd["detector.roi_fmap.3.bias"]}, pool)
+    logits = ref.np_linear(feat, sd["detector.score_fc.weight"],
+                           sd["detector.score_fc.bias"])
+    deltas = ref.np_linear(feat, sd["detector.bbox_fc.weight"],
+                           sd["detector.bbox_fc.bias"]).reshape(-1, NC, 4)
+    probs = ref.np_softmax(logits, -1)
+    boxes_all = np_bbox_preds(np.repeat(props[:, None], NC, 1), deltas)
+    boxes_all = boxes_all.clip(0, IM - 1)
+    sel, _, _ = oracle_filter_det(probs, boxes_all, max_det, 0.01)
+    boxes = props[sel]
+    ba = boxes_all[sel].copy()
+    ba[:, 0] = boxes                            # class-0 slot = prior
+    n = len(sel)
+    assert n >= 3, "degenerate test: too few detections"
+
+    # overlap-gated pairs (rel_model.py:420-437 via get_rel_inds)
+    iou = np_iou_plus1(boxes, boxes)
+    pairs = np.array([(i, j) for i in range(n) for j in range(n)
+                      if i != j and iou[i, j] > 0])
+    assert len(pairs) >= 2, "degenerate test: no overlapping pairs"
+
+    vr = oracle_union_vr(sd, fmap, boxes, pairs)
+    obj_fmap = ref.np_obj_tower(sd, oracle_roi_pool_flat(fmap, boxes))
+    rel_rep = np.maximum(ref.np_linear(vr, sd["edge_unary.weight"],
+                                       sd["edge_unary.bias"]), 0.0)
+    obj_rep = ref.np_linear(obj_fmap, sd["obj_unary.weight"],
+                            sd["obj_unary.bias"])
+    obj_dists, rel_dists = ref.np_stanford_message_pass(
+        sd, rel_rep, obj_rep, pairs)
+
+    # sgdet decode (rel_model_stanford.py:168-184): filter_det @ thresh 0,
+    # nms 0.3; unkept rois get score 0 / pred 1
+    dprobs = ref.np_softmax(obj_dists, -1)
+    dsel, dscores, dlabels = oracle_filter_det(dprobs, ba, 100, 0.0)
+    exp_scores = np.zeros(n)
+    exp_preds = np.ones(n, np.int64)
+    exp_scores[dsel] = dscores
+    exp_preds[dsel] = dlabels
+    exp_boxes = ba[np.arange(n), exp_preds]
+
+    got_valid = np.asarray(pred.obj_valid)[0]
+    n_kept = int(got_valid.sum())
+    assert n_kept == n
+    np.testing.assert_array_equal(np.asarray(pred.obj_classes)[0, :n],
+                                  exp_preds)
+    np.testing.assert_allclose(np.asarray(pred.obj_scores)[0, :n],
+                               exp_scores, rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(pred.boxes)[0, :n], exp_boxes,
+                               rtol=2e-3, atol=0.3)
+
+    rinds = np.asarray(pred.rel_inds)[0]
+    rscores = np.asarray(pred.rel_scores)[0]
+    rvalid = np.asarray(pred.rel_valid)[0]
+    got = {(int(s), int(o)): rscores[k]
+           for k, (s, o) in enumerate(rinds) if rvalid[k]}
+    exp_rel = {(int(s), int(o)): rel_dists[k]
+               for k, (s, o) in enumerate(pairs)}
+    assert set(got) == set(exp_rel), "overlap-gated pair sets differ"
+    for so, dists in exp_rel.items():
+        np.testing.assert_allclose(got[so], ref.np_softmax(dists, -1),
+                                   rtol=2e-3, atol=2e-4, err_msg=f"pair {so}")

@@ -279,6 +279,63 @@ def np_rel_head(sd, edge_ctx, obj_preds, pairs, vr, *, pooling_dim,
     return rel_dists
 
 
+def np_gru_cell(x, h, w_ih, w_hh, b_ih, b_hh):
+    """torch nn.GRUCell math: gate rows chunked (r, z, n); the candidate
+    applies r INSIDE the recurrent projection:
+    n = tanh(W_in x + b_in + r * (W_hn h + b_hn))."""
+    hid = h.shape[-1]
+    gi = x @ w_ih.T + b_ih
+    gh = h @ w_hh.T + b_hh
+    r = sigmoid(gi[..., :hid] + gh[..., :hid])
+    z = sigmoid(gi[..., hid:2 * hid] + gh[..., hid:2 * hid])
+    n = np.tanh(gi[..., 2 * hid:] + r * gh[..., 2 * hid:])
+    return (1.0 - z) * n + z * h
+
+
+def np_stanford_message_pass(sd, rel_rep, obj_rep, rel_inds, n_iter=3):
+    """Stanford iterative message passing (rel_model_stanford.py:60-107):
+    GRU-init both factor sets from zero hidden state, then n_iter rounds of
+    (a) sigmoid-gated sub/obj->edge aggregation updating the edge GRU and
+    (b) incidence-matrix (here scatter-add) edge->node aggregation updating
+    the node GRU. NOTE the reference computes pre_out/pre_in from the
+    PRE-update edge factor (edge_factor[i], :100-104). Returns
+    (obj_dists [N, NC], rel_dists [P, NP])."""
+    eg = tuple(np.asarray(sd[f"edge_gru.{k}"], np.float64)
+               for k in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"))
+    ng = tuple(np.asarray(sd[f"node_gru.{k}"], np.float64)
+               for k in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"))
+    size = eg[1].shape[1]
+    gate = {nm: (sd[f"{nm}.0.weight"].astype(np.float64),
+                 sd[f"{nm}.0.bias"].astype(np.float64))
+            for nm in ("sub_vert_w_fc", "obj_vert_w_fc", "out_edge_w_fc",
+                       "in_edge_w_fc")}
+
+    vert = np_gru_cell(np.asarray(obj_rep, np.float64),
+                       np.zeros((len(obj_rep), size)), *ng)
+    edge = np_gru_cell(np.asarray(rel_rep, np.float64),
+                       np.zeros((len(rel_rep), size)), *eg)
+    for _ in range(n_iter):
+        sub_vert = vert[rel_inds[:, 0]]
+        obj_vert = vert[rel_inds[:, 1]]
+        w_sub = sigmoid(np_linear(np.concatenate([sub_vert, edge], 1),
+                                  *gate["sub_vert_w_fc"]))
+        w_obj = sigmoid(np_linear(np.concatenate([obj_vert, edge], 1),
+                                  *gate["obj_vert_w_fc"]))
+        new_edge = np_gru_cell(w_sub * sub_vert + w_obj * obj_vert, edge, *eg)
+        pre_out = sigmoid(np_linear(np.concatenate([sub_vert, edge], 1),
+                                    *gate["out_edge_w_fc"])) * edge
+        pre_in = sigmoid(np_linear(np.concatenate([obj_vert, edge], 1),
+                                   *gate["in_edge_w_fc"])) * edge
+        vert_ctx = np.zeros_like(vert)
+        np.add.at(vert_ctx, rel_inds[:, 0], pre_out)
+        np.add.at(vert_ctx, rel_inds[:, 1], pre_in)
+        vert = np_gru_cell(vert_ctx, vert, *ng)
+        edge = new_edge
+    obj_dists = np_linear(vert, sd["obj_fc.weight"], sd["obj_fc.bias"])
+    rel_dists = np_linear(edge, sd["rel_fc.weight"], sd["rel_fc.bias"])
+    return obj_dists, rel_dists
+
+
 def np_union_tower(sd, x_flat, pooling_dim=4096):
     """Union fc tower (rel_model.py:367-373 / load_vgg deletions,
     object_detector.py:623-633): Linear -> ReLU -> [Dropout] -> Linear.
