@@ -17,18 +17,24 @@ from neural_motifs_tpu.training import checkpoint as ckpt_lib
 from neural_motifs_tpu.training.train_rels import batch_kwargs, build_model
 
 
-def main(argv=None):
+def main(argv=None, datasets=None):
+    """datasets: optional (train, val, test) triple built by the caller with
+    explicit paths (e.g. tools/parity_runbook.py); default loads VG from the
+    configured data dir."""
     cfg = C.ModelConfig.from_args(argv)
-    try:
-        from neural_motifs_tpu.data.visual_genome import VG
-        train, val, test = VG.splits(num_val_im=cfg.val_size,
-                                     filter_duplicate_rels=True,
-                                     use_proposals=cfg.use_proposals,
-                                     filter_non_overlap=cfg.mode == "sgdet")
-    except FileNotFoundError as e:
-        print(f"[eval_rels] {e}\nFalling back to SyntheticVG.")
-        from neural_motifs_tpu.data.synthetic import SyntheticVG
-        train, val, test = SyntheticVG.splits(num_images=32)
+    if datasets is not None:
+        train, val, test = datasets
+    else:
+        try:
+            from neural_motifs_tpu.data.visual_genome import VG
+            train, val, test = VG.splits(num_val_im=cfg.val_size,
+                                         filter_duplicate_rels=True,
+                                         use_proposals=cfg.use_proposals,
+                                         filter_non_overlap=cfg.mode == "sgdet")
+        except FileNotFoundError as e:
+            print(f"[eval_rels] {e}\nFalling back to SyntheticVG.")
+            from neural_motifs_tpu.data.synthetic import SyntheticVG
+            train, val, test = SyntheticVG.splits(num_images=32)
     data = test if cfg.test else val
 
     model = build_model(cfg, train)
@@ -43,9 +49,11 @@ def main(argv=None):
     if cfg.ckpt:
         if cfg.ckpt.endswith((".tar", ".pth", ".pt")):
             loaded, loaded_stats = ckpt_lib.import_reference_rel_model(
-                cfg.ckpt, hidden_dim=cfg.hidden_dim, obj_dim=4096,
+                cfg.ckpt, hidden_dim=cfg.hidden_dim, obj_dim=cfg.obj_dim,
                 embed_dim=cfg.embed_dim, nl_obj=cfg.nl_obj, nl_edge=cfg.nl_edge,
-                pooling_dim=cfg.pooling_dim)
+                pooling_dim=cfg.pooling_dim,
+                pass_in_obj_feats_to_decoder=cfg.pass_in_obj_feats_to_decoder,
+                pass_in_obj_feats_to_edge=cfg.pass_in_obj_feats_to_edge)
             batch_stats = ckpt_lib.optimistic_restore(batch_stats, loaded_stats)
         else:
             payload = ckpt_lib.load_checkpoint(cfg.ckpt)
@@ -59,14 +67,28 @@ def main(argv=None):
         {"params": p, "batch_stats": bs}, train=False,
         rngs={"sample": jax.random.PRNGKey(0)}, **kw))
 
+    # SPMD eval: batches sharded over the data axis, params replicated —
+    # the TPU-native analog of the reference's per-GPU result gather
+    # (lib/rel_model.py:549-560). -ngpu N = data-mesh size.
+    from neural_motifs_tpu.parallel.mesh import make_mesh, replicated, shard_batch
+    mesh = make_mesh(num_data=cfg.num_devices)
+    if mesh.size > 1:
+        repl = replicated(mesh)
+        params = jax.device_put(params, repl)
+        batch_stats = jax.device_put(batch_stats, repl)
+
     evaluator = BasicSceneGraphEvaluator(cfg.mode, multiple_preds=cfg.multi_pred)
     all_pred_entries = []
+    from neural_motifs_tpu.utils.observe import PairBudgetTelemetry
+    pairs_tel = PairBudgetTelemetry(cfg.budgets.max_pairs_eval)
 
     def consume(batch, pred):
         # device_get blocks on the async step; by consuming batch k only
         # after batch k+1 is dispatched, the ~25MB fetch and the host-side
         # evaluator overlap the device compute of the next step
-        for i, entry in enumerate(prediction_to_entries(jax.device_get(pred))):
+        pred = jax.device_get(pred)
+        pairs_tel.update(pred.num_valid_pairs)
+        for i, entry in enumerate(prediction_to_entries(pred)):
             idx = int(batch.image_ids[i])
             gt = {"gt_classes": data.gt_classes[idx].copy(),
                   "gt_relations": data.relationships[idx].copy(),
@@ -77,12 +99,15 @@ def main(argv=None):
 
     pending = None
     for batch in loader:
-        pred = eval_fn(params, batch_stats, batch_kwargs(batch))
+        pred = eval_fn(params, batch_stats,
+                       batch_kwargs(shard_batch(batch, mesh)))
         if pending is not None:
             consume(*pending)
         pending = (batch, pred)
     if pending is not None:
         consume(*pending)
+    print(loader.truncation_report(), flush=True)
+    print(pairs_tel.report(), flush=True)
     evaluator.print_stats()
     if cfg.cache:
         with open(cfg.cache, "wb") as f:

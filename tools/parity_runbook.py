@@ -1,0 +1,150 @@
+"""One-command R@K parity runbook (VERDICT r2 #8).
+
+Given the VG data files and the released reference checkpoints, runs the
+import -> eval -> R@20/50/100 pipeline for MotifNet predcls/sgcls/sgdet
+(the canonical topologies of /root/reference/scripts/eval_models_sg{cls,det}.sh:
+order=leftright nl_obj=2 nl_edge=4 hidden_dim=512 pooling_dim=4096 use_bias)
+and diffs each mode against the expected table with the 0.2-pt gate from
+BASELINE.json. Reference flow transcribed: models/eval_rels.py:87-112.
+
+Usage (the day real data lands):
+
+    python -m tools.parity_runbook \
+        --vg-h5 .../VG-SGG.h5 --vg-dicts .../VG-SGG-dicts.json \
+        --vg-image-data .../image_data.json --vg-images .../VG_100K \
+        --sgcls-ckpt checkpoints/vgrel-7.tar \
+        --sgdet-ckpt checkpoints/vgrel-14.tar \
+        --out PARITY.json
+
+The default expected table is the CVPR'18 paper one (BASELINE.md) —
+re-verify it by running the released checkpoints through the torch reference
+eval and pass the result via --expected when available. Exit code 0 iff all
+requested modes pass the gate on R@50 and R@100.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+# Paper table (graph-constrained R@K; BASELINE.md, arXiv 1711.06640v2)
+PAPER = {
+    "predcls": {20: 58.5, 50: 65.2, 100: 67.1},
+    "sgcls": {20: 32.9, 50: 35.8, 100: 36.5},
+    "sgdet": {20: 21.4, 50: 27.2, 100: 30.3},
+}
+
+# scripts/eval_models_sgcls.sh:22-26 + eval_models_sgdet.sh:17-19, plus
+# exact-mode settings the parity gate requires: every candidate pair scored
+# (no compaction) and f32 compute (bf16 is the serving default; the gate
+# measures algorithmic parity, not serving precision)
+CANONICAL_MOTIFNET = ["-model", "motifnet", "-order", "leftright",
+                      "-nl_obj", "2", "-nl_edge", "4", "-b", "6",
+                      "-clip", "5", "-p", "100", "-hidden_dim", "512",
+                      "-pooling_dim", "4096", "-use_bias", "-test",
+                      "-max_pairs_eval", "4096", "-dtype", "float32"]
+
+
+def check_gate(measured: dict, expected: dict, gate: float) -> dict:
+    """Per-mode diff + pass/fail. measured/expected: {mode: {K: R@K}}.
+    The 0.2-pt gate applies to R@50 and R@100 (the BASELINE.json target);
+    R@20 is reported informationally."""
+    out = {}
+    for mode, exp in expected.items():
+        if mode not in measured:
+            continue
+        got = measured[mode]
+        diffs = {int(k): round(got[int(k)] - exp[int(k)], 4)
+                 for k in exp if int(k) in got}
+        ok = all(abs(diffs[k]) <= gate for k in (50, 100) if k in diffs)
+        out[mode] = {"measured": {int(k): got[int(k)] for k in got},
+                     "expected": {int(k): exp[int(k)] for k in exp},
+                     "diff": diffs, "gate": gate, "pass": ok}
+    return out
+
+
+def run_mode(mode: str, ckpt: str, datasets, extra_args) -> dict:
+    """One eval_rels run; returns {K: mean R@K in pts}."""
+    from neural_motifs_tpu.training.eval_rels import main as eval_main
+
+    argv = ["-m", mode, "-ckpt", ckpt] + CANONICAL_MOTIFNET + list(extra_args)
+    evaluator = eval_main(argv, datasets=datasets)
+    rec = evaluator.result_dict[mode + "_recall"]
+    import numpy as np
+    return {k: float(100.0 * np.mean(v)) for k, v in rec.items()}
+
+
+def build_datasets(a, mode: str):
+    from neural_motifs_tpu.data.visual_genome import VG
+
+    kw = dict(roidb_file=a.vg_h5, dict_file=a.vg_dicts,
+              image_file=a.vg_image_data, image_dir=a.vg_images,
+              num_val_im=a.val_size, filter_duplicate_rels=True,
+              filter_non_overlap=mode == "sgdet")
+    return (VG("train", **kw), VG("val", **kw), VG("test", **kw))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--vg-h5", required=True)
+    p.add_argument("--vg-dicts", required=True)
+    p.add_argument("--vg-image-data", required=True)
+    p.add_argument("--vg-images", required=True)
+    p.add_argument("--sgcls-ckpt", default=None,
+                   help="vgrel-7.tar (serves predcls AND sgcls)")
+    p.add_argument("--sgdet-ckpt", default=None, help="vgrel-14.tar")
+    p.add_argument("--modes", default="predcls,sgcls,sgdet")
+    p.add_argument("--gate", type=float, default=0.2)
+    p.add_argument("--val-size", type=int, default=5000)
+    p.add_argument("--expected", default=None,
+                   help="JSON file {mode: {K: R@K}} replacing the paper "
+                        "table (use numbers from a fresh torch-reference run)")
+    p.add_argument("--out", default="PARITY.json")
+    p.add_argument("--extra-args", nargs=argparse.REMAINDER, default=[],
+                   help="passed through to eval_rels (dry runs: tiny dims, "
+                        "budgets, -dtype float32 ...). Overrides canonical "
+                        "flags because argparse takes the last occurrence.")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    a = parse_args(argv)
+    modes = [m.strip() for m in a.modes.split(",") if m.strip()]
+    expected = PAPER
+    if a.expected:
+        with open(a.expected) as f:
+            expected = {m: {int(k): v for k, v in t.items()}
+                        for m, t in json.load(f).items()}
+
+    measured = {}
+    for mode in modes:
+        ckpt = a.sgdet_ckpt if mode == "sgdet" else a.sgcls_ckpt
+        if not ckpt:
+            print(f"[parity] SKIP {mode}: no checkpoint given", flush=True)
+            continue
+        print(f"[parity] === {mode} ({ckpt}) ===", flush=True)
+        datasets = build_datasets(a, mode)
+        measured[mode] = run_mode(mode, ckpt, datasets, a.extra_args)
+
+    report = check_gate(measured, expected, a.gate)
+    all_pass = bool(report) and all(r["pass"] for r in report.values())
+    payload = {"report": report, "all_pass": all_pass,
+               "expected_source": a.expected or "CVPR18 paper table "
+               "(re-verify against a fresh reference-eval run)"}
+    with open(a.out, "w") as f:
+        json.dump(payload, f, indent=2)
+
+    for mode, r in report.items():
+        verdict = "PASS" if r["pass"] else "FAIL"
+        print(f"[parity] {mode}: {verdict}  "
+              + "  ".join(f"R@{k}={r['measured'].get(k, float('nan')):.2f} "
+                          f"(exp {r['expected'][k]:.2f}, "
+                          f"d={r['diff'].get(k, float('nan')):+.2f})"
+                          for k in sorted(r["expected"])), flush=True)
+    print(f"[parity] wrote {a.out}; all_pass={all_pass}", flush=True)
+    return 0 if all_pass else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
