@@ -25,7 +25,8 @@ from neural_motifs_tpu.utils.misc import pad_to
 class Batch(NamedTuple):
     """One padded batch. All arrays are numpy on host; jit transfers them."""
 
-    images: np.ndarray      # [B, IM_SCALE, IM_SCALE, 3] float32, normalized NHWC
+    images: np.ndarray      # [B, IM_SCALE, IM_SCALE, 3] NHWC: uint8 raw
+                            # pixels (normalized in-graph) or f32 normalized
     im_hw: np.ndarray       # [B, 2] float32 (valid h, w) at IM_SCALE
     im_scale: np.ndarray    # [B] float32 (resize factor from original pixels)
     gt_boxes: np.ndarray    # [B, G, 4] float32 at IM_SCALE coords
@@ -53,7 +54,7 @@ def collate(entries: Sequence[dict], budgets: C.PadBudgets | None = None,
             num_proposals: int = 2000) -> Batch:
     """Stack per-image dicts (from VG.__getitem__ / synthetic) into a Batch.
 
-    Each entry: img [H, W, 3] float32 normalized; img_size (h, w, scale);
+    Each entry: img [H, W, 3] uint8 raw (or f32 normalized); img_size (h, w, scale);
     gt_boxes [g, 4] at BOX_SCALE; gt_classes [g]; gt_relations [r, 3];
     index; optional proposals [p, 5].
     """
@@ -61,7 +62,11 @@ def collate(entries: Sequence[dict], budgets: C.PadBudgets | None = None,
     g, r = budgets.max_gt_boxes, budgets.max_gt_rels
     b = len(entries)
 
-    images = np.zeros((b, C.IM_SCALE, C.IM_SCALE, 3), np.float32)
+    # image dtype follows the entries: uint8 raw pixels from the real
+    # datasets (normalized in-graph; 4x less host->device transfer), f32
+    # pre-normalized arrays from synthetic/test paths
+    img_dtype = np.asarray(entries[0]["img"]).dtype
+    images = np.zeros((b, C.IM_SCALE, C.IM_SCALE, 3), img_dtype)
     im_hw = np.zeros((b, 2), np.float32)
     im_scale = np.zeros((b,), np.float32)
     gt_boxes = np.zeros((b, g, 4), np.float32)
@@ -124,6 +129,41 @@ def measure_gt_budgets(dataset) -> tuple[int, int]:
     max_b = max((len(b) for b in boxes), default=0) if boxes is not None else 0
     max_r = max((len(r) for r in rels), default=0) if rels is not None else 0
     return int(max_b), int(max_r)
+
+
+def device_prefetch(loader, prepare, depth: int = 2):
+    """Background-thread host->device transfer: yields (host_batch,
+    prepare(host_batch)) with `prepare` (device_put / shard_batch) running
+    in the thread, `depth` batches ahead. jax.device_put is async, so the
+    link transfer of batch k+1 overlaps device compute of batch k — without
+    this, the eval loop pays the full image-upload latency inside its
+    critical path (measured 26.5 -> ~36 img/s single-chip e2e on the
+    remote-TPU bench, tools/bench_e2e_eval.py)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
+    SENTINEL = object()
+    err = []
+
+    def worker():
+        try:
+            for b in loader:
+                q.put((b, prepare(b)))
+        except BaseException as e:  # noqa: BLE001 - surface in main thread
+            err.append(e)
+        finally:
+            q.put(SENTINEL)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is SENTINEL:
+            if err:
+                raise err[0]
+            return
+        yield item
 
 
 def _load_chunk(dataset, chunk, budgets) -> Batch:

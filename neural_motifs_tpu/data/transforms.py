@@ -18,11 +18,16 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 def square_pad_resize(img) -> tuple[np.ndarray, tuple[int, int, float]]:
-    """PIL image -> ([h', w', 3] float32 normalized, (h', w', scale)).
+    """PIL image -> ([h', w', 3] uint8 RAW pixels, (h', w', scale)).
 
-    Pads right/bottom with the ImageNet mean to square, then resizes so the
-    long side is IM_SCALE. Returns the *unpadded* resized size; the collate
-    pads to [IM_SCALE, IM_SCALE].
+    Resizes so the long side is IM_SCALE; the collate pads to
+    [IM_SCALE, IM_SCALE]. Pixels stay uint8 so each image ships to the
+    device at 1 byte/channel (4x less host->device bandwidth than
+    normalized f32 — on the remote-TPU bench the f32 transfer alone halved
+    end-to-end eval throughput); the ImageNet normalize happens in-graph
+    (ObjectDetector), which also mean-fills the padded region exactly from
+    im_hw, matching the reference's mean padding
+    (dataloaders/image_transforms.py SquarePad).
     """
     from PIL import Image
 
@@ -33,8 +38,7 @@ def square_pad_resize(img) -> tuple[np.ndarray, tuple[int, int, float]]:
     else:
         size = (IM_SCALE, max(1, round(h * scale)))
     img = img.resize(size, Image.BILINEAR)
-    arr = np.asarray(img, np.float32) / 255.0
-    arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
+    arr = np.asarray(img, np.uint8)
     return arr, (arr.shape[0], arr.shape[1], scale)
 
 

@@ -227,6 +227,21 @@ class ObjectDetector(nn.Module):
                  proposals=None, proposal_mask=None, train: bool = False
                  ) -> DetectorOutput:
         b = images.shape[0]
+        if images.dtype == jnp.uint8:
+            # raw pixels from the loader (1 byte/channel over the host link;
+            # the f32 normalize is fused into the first conv by XLA). Zero
+            # beyond each image's true (h, w) extent: 0 in normalized space
+            # IS the ImageNet mean, exactly reproducing the host-side
+            # mean-pad (image_transforms.py SquarePad / collate zero-pad).
+            from neural_motifs_tpu.data.transforms import (IMAGENET_MEAN,
+                                                           IMAGENET_STD)
+            x = images.astype(jnp.float32) / 255.0
+            x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+            hh = jnp.arange(images.shape[1])[None, :, None]
+            ww = jnp.arange(images.shape[2])[None, None, :]
+            inside = ((hh < im_hw[:, 0, None, None])
+                      & (ww < im_hw[:, 1, None, None]))
+            images = x * inside[..., None]
         fmap = self.feature_map(images)
         # anchors are a compile-time constant for the (static) input size
         anchors = jnp.asarray(generate_anchors(im_scale=images.shape[1]))

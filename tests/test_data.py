@@ -91,6 +91,61 @@ def test_truncation_accounting():
     assert "none" in ok.truncation_report()
 
 
+def test_uint8_images_match_host_normalized_f32():
+    """The uint8 loader path (raw pixels, in-graph ImageNet normalize +
+    im_hw mean-fill of the padding) must produce the same detector input as
+    the legacy host path (normalize_array + zero-pad of the normalized
+    array), to f32 rounding: same pixels inside, exact 0 (= mean) outside."""
+    import jax
+    import jax.numpy as jnp
+    from neural_motifs_tpu.data.transforms import normalize_array
+    from neural_motifs_tpu.models.detector import ObjectDetector
+
+    rng = np.random.RandomState(3)
+    b, H, W = 2, C.IM_SCALE, C.IM_SCALE
+    raw = rng.randint(0, 256, (b, H, W, 3), np.uint8)
+    hw = np.array([[H, W - 100], [H - 50, W]], np.float32)
+    # zero the raw padding like collate does (entries are unpadded crops)
+    for i in range(b):
+        raw[i, int(hw[i, 0]):] = 0
+        raw[i, :, int(hw[i, 1]):] = 0
+    host = np.zeros((b, H, W, 3), np.float32)
+    for i in range(b):
+        eh, ew = int(hw[i, 0]), int(hw[i, 1])
+        host[i, :eh, :ew] = normalize_array(raw[i, :eh, :ew])
+
+    det = ObjectDetector(num_classes=4, mode="gtbox", dtype=jnp.float32)
+
+    def normalize_in_graph(images, im_hw):
+        # replicate the uint8 branch of ObjectDetector.__call__
+        from neural_motifs_tpu.data.transforms import (IMAGENET_MEAN,
+                                                       IMAGENET_STD)
+        x = images.astype(jnp.float32) / 255.0
+        x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        hh = jnp.arange(images.shape[1])[None, :, None]
+        ww = jnp.arange(images.shape[2])[None, None, :]
+        inside = ((hh < im_hw[:, 0, None, None])
+                  & (ww < im_hw[:, 1, None, None]))
+        return x * inside[..., None]
+
+    got = np.asarray(jax.jit(normalize_in_graph)(jnp.asarray(raw),
+                                                 jnp.asarray(hw)))
+    np.testing.assert_allclose(got, host, rtol=0, atol=1e-6)
+    # padding region is exactly zero (= ImageNet mean in normalized space)
+    assert np.all(got[0, int(hw[0, 0]):] == 0)
+    assert np.all(got[1, :, int(hw[1, 1]):] == 0)
+
+    # and the real detector accepts uint8 end-to-end (gtbox smoke)
+    boxes = jnp.asarray([[[4.0, 4, 60, 60], [10, 10, 90, 90]]] * b)
+    out = det.init_with_output(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(raw), jnp.asarray(hw), gt_boxes=boxes,
+        gt_classes=jnp.ones((b, 2), jnp.int32),
+        gt_mask=jnp.ones((b, 2), bool), train=False)[0]
+    assert np.isfinite(np.asarray(out.rm_boxes)).all()
+    assert np.asarray(out.rm_valid).any()
+
+
 def test_get_counts_and_bias():
     ds = SyntheticVG(num_images=12, num_classes=10, num_predicates=6)
     fg, bg = get_counts(ds, must_overlap=False)
