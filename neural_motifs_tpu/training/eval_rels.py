@@ -97,10 +97,15 @@ def main(argv=None, datasets=None):
             if cfg.cache:
                 all_pred_entries.append(entry)
 
+    # device_prefetch: batch k+1's host->device image transfer runs in a
+    # background thread while the device computes batch k; the pending/
+    # consume pattern below additionally overlaps the result fetch + host
+    # evaluator with device compute (tools/bench_e2e_eval.py measures both)
+    from neural_motifs_tpu.data.batching import device_prefetch
     pending = None
-    for batch in loader:
-        pred = eval_fn(params, batch_stats,
-                       batch_kwargs(shard_batch(batch, mesh)))
+    for batch, kw in device_prefetch(
+            loader, lambda b: batch_kwargs(shard_batch(b, mesh))):
+        pred = eval_fn(params, batch_stats, kw)
         if pending is not None:
             consume(*pending)
         pending = (batch, pred)

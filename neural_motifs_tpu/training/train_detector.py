@@ -111,11 +111,14 @@ def main(argv=None):
         state = state.replace(opt_state=set_lr_scale(state.opt_state,
                                                      base_scale))
     rng = jax.random.PRNGKey(7)
+    from neural_motifs_tpu.data.batching import device_prefetch
     for epoch in range(cfg.num_epochs):
         t0 = time.time()
-        for bi, batch in enumerate(train_loader):
-            batch = shard_batch(batch, mesh)
-            state, losses = train_step(state, batch, rng)
+        # batch k+1's host->device transfer overlaps step k (loss fetches
+        # only happen at print_interval, so steps already pipeline)
+        for bi, (batch, dev_batch) in enumerate(device_prefetch(
+                train_loader, lambda b: shard_batch(b, mesh))):
+            state, losses = train_step(state, dev_batch, rng)
             if bi % cfg.print_interval == 0:
                 dt = (time.time() - t0) / (bi + 1)
                 print(f"e{epoch}b{bi} {dt:.3f}s/b "

@@ -91,10 +91,16 @@ def val_epoch(model, state, val_loader, val_data, cfg, eval_fn, mesh=None):
                   "gt_boxes": val_data.gt_boxes[idx].copy()}
             evaluator[cfg.mode].evaluate_scene_graph_entry(gt, entry)
 
+    # background-thread device transfer + pipelined fetch (see eval_rels)
+    from neural_motifs_tpu.data.batching import device_prefetch
+
+    def prep(b):
+        kw = batch_kwargs(shard_batch(b, mesh) if mesh is not None else b)
+        return kw if mesh is not None else jax.device_put(kw)
+
     pending = None
-    for bi, batch in enumerate(val_loader):
-        dev_batch = shard_batch(batch, mesh) if mesh is not None else batch
-        pred = eval_fn(params, batch_stats, batch_kwargs(dev_batch))
+    for batch, kw in device_prefetch(val_loader, prep):
+        pred = eval_fn(params, batch_stats, kw)
         if pending is not None:
             consume(*pending)
         pending = (batch, pred)
@@ -164,13 +170,20 @@ def main(argv=None):
         state = state.replace(opt_state=set_lr_scale(state.opt_state,
                                                      base_scale))
     step_rng = jax.random.PRNGKey(42)
+    from neural_motifs_tpu.data.batching import device_prefetch
     for epoch in range(cfg.num_epochs):
         t0 = time.time()
         agg = []
-        for bi, batch in enumerate(train_loader):
-            batch = shard_batch(batch, mesh)
-            state, losses = train_step(state, batch, step_rng)
-            agg.append({k: float(v) for k, v in losses.items()})
+        prev = None
+        # batch k+1 transfers in a background thread while the device runs
+        # step k; the loss fetch (a host sync) is deferred one step so it
+        # overlaps too instead of hard-stopping the pipeline every step
+        for bi, (batch, dev_batch) in enumerate(device_prefetch(
+                train_loader, lambda b: shard_batch(b, mesh))):
+            state, losses = train_step(state, dev_batch, step_rng)
+            if prev is not None:
+                agg.append({k: float(v) for k, v in prev.items()})
+            prev = losses
             if bi % cfg.print_interval == 0 and bi >= cfg.print_interval:
                 window = agg[-cfg.print_interval:]
                 mean = {k: np.mean([a[k] for a in window]) for k in window[0]}
@@ -178,6 +191,8 @@ def main(argv=None):
                 print(f"e{epoch}b{bi}/{len(train_loader)} {dt:.3f}s/batch "
                       f"{dt * len(train_loader) / 60:.1f}m/epoch  {mean}",
                       flush=True)
+        if prev is not None:
+            agg.append({k: float(v) for k, v in prev.items()})
         print(train_loader.truncation_report(), flush=True)
         if cfg.save_dir:
             ckpt_lib.save_checkpoint(f"{cfg.save_dir}/vgrel-{epoch}.mp", state,
