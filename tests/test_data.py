@@ -146,6 +146,28 @@ def test_uint8_images_match_host_normalized_f32():
     assert np.asarray(out.rm_valid).any()
 
 
+def test_device_prefetch_order_and_errors():
+    """device_prefetch must preserve batch order, apply prepare() to every
+    batch, and re-raise worker exceptions in the consumer thread."""
+    from neural_motifs_tpu.data.batching import device_prefetch
+
+    items = list(range(7))
+    got = list(device_prefetch(items, lambda x: x * 10, depth=3))
+    assert [h for h, _ in got] == items
+    assert [d for _, d in got] == [x * 10 for x in items]
+
+    def bad_prepare(x):
+        if x == 3:
+            raise RuntimeError("boom")
+        return x
+
+    try:
+        consumed = [h for h, _ in device_prefetch(items, bad_prepare)]
+        raise AssertionError("worker exception not propagated")
+    except RuntimeError as e:
+        assert "boom" in str(e)
+
+
 def test_get_counts_and_bias():
     ds = SyntheticVG(num_images=12, num_classes=10, num_predicates=6)
     fg, bg = get_counts(ds, must_overlap=False)
