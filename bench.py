@@ -42,15 +42,22 @@ def main():
     budgets = C.PadBudgets()
     rng = np.random.RandomState(0)
     nc, npred = C.VG_NUM_CLASSES, C.VG_NUM_PREDICATES
-    model = RelModel(
-        num_classes=nc, num_rels=npred, mode="sgdet", budgets=budgets,
-        dtype=jnp.bfloat16, hidden_dim=512, pooling_dim=4096, obj_dim=4096,
-        embed_dim=200, nl_obj=2, nl_edge=4, order="leftright", use_bias=True,
-        use_tanh=False, limit_vision=False, thresh=0.05,
-        embed_vecs=rng.randn(nc, 200).astype(np.float32) * 0.1,
-        decoder_embed_vecs=rng.randn(nc + 1, 100).astype(np.float32) * 0.1,
-        freq_table=rng.randn(nc * nc, npred).astype(np.float32) * 0.1,
-        union_chunk=int(__import__("os").environ.get("NM_BENCH_CHUNK", "512")))
+    model_name = __import__("os").environ.get("NM_BENCH_MODEL", "motifnet")
+    if model_name == "stanford":
+        from neural_motifs_tpu.models.rel_model_stanford import RelModelStanford
+        model = RelModelStanford(
+            num_classes=nc, num_rels=npred, mode="sgdet", budgets=budgets,
+            dtype=jnp.bfloat16, thresh=0.05)
+    else:
+        model = RelModel(
+            num_classes=nc, num_rels=npred, mode="sgdet", budgets=budgets,
+            dtype=jnp.bfloat16, hidden_dim=512, pooling_dim=4096, obj_dim=4096,
+            embed_dim=200, nl_obj=2, nl_edge=4, order="leftright", use_bias=True,
+            use_tanh=False, limit_vision=False, thresh=0.05,
+            embed_vecs=rng.randn(nc, 200).astype(np.float32) * 0.1,
+            decoder_embed_vecs=rng.randn(nc + 1, 100).astype(np.float32) * 0.1,
+            freq_table=rng.randn(nc * nc, npred).astype(np.float32) * 0.1,
+            union_chunk=int(__import__("os").environ.get("NM_BENCH_CHUNK", "512")))
 
     g, r = budgets.max_gt_boxes, budgets.max_gt_rels
     im = C.IM_SCALE

@@ -138,9 +138,25 @@ class RelModelStanford(nn.Module):
             iou = box_ops.bbox_overlaps(det.rm_boxes, det.rm_boxes,
                                         det.rm_valid, det.rm_valid)
             valid = valid & (jax.vmap(lambda m, s, t: m[s, t])(iou, sub, obj) > 0)
+        n_valid = valid.sum(axis=1).astype(jnp.int32)
+
+        budget = self.budgets.max_pairs_eval
+        if budget < sub.shape[1]:
+            # serving-mode compaction, same contract as RelModel._rel_pairs:
+            # EXACT whenever num_valid_pairs <= budget, because invalid
+            # pairs contribute nothing to message_pass (their gates are
+            # zeroed by pairs.valid) — dropping them only shrinks the
+            # scatter-add. Overflow is reported by the eval entry points.
+            sc = (det.obj_scores if det.obj_scores is not None
+                  else jnp.ones_like(det.rm_valid, jnp.float32))
+            key = jnp.where(valid, 1.0 + take(sc, sub) * take(sc, obj), 0.0)
+            _, idx = jax.lax.top_k(key, budget)
+            sub = take(sub, idx)
+            obj = take(obj, idx)
+            valid = jnp.take_along_axis(key, idx, axis=1) > 0.5
         return (RelSample(sub=sub, obj=obj, label=jnp.zeros_like(sub),
                           valid=valid),
-                valid.sum(axis=1).astype(jnp.int32))
+                n_valid)
 
     def __call__(self, images, im_hw, gt_boxes=None, gt_classes=None,
                  gt_mask=None, gt_rels=None, gt_rel_mask=None, proposals=None,

@@ -311,3 +311,33 @@ def test_eval_pair_compaction_exact_when_budget_suffices(rng):
         got = {(int(s), int(o)) for (s, o) in ri[b][rv[b]]}
         exp = {(i, j) for i in range(n) for j in range(n) if i != j}
         assert got == exp
+
+
+def test_stanford_pair_compaction_matches_exact(rng):
+    """Stanford message passing over the compacted pair set must equal the
+    full-pair run when every valid pair fits the budget (invalid pairs are
+    gate-masked, so dropping them only shrinks the scatter-add)."""
+    import dataclasses
+    batch = tiny_batch(rng)  # 5 valid objects -> 20 valid pairs
+    full = make_model("sgcls", model_cls=RelModelStanford,
+                      budgets=dataclasses.replace(TINY, max_pairs_eval=56))
+    comp = make_model("sgcls", model_cls=RelModelStanford,
+                      budgets=dataclasses.replace(TINY, max_pairs_eval=24))
+    variables = full.init(RNGS, train=True, **batch)
+    kw = dict(train=False, rngs={"sample": jax.random.PRNGKey(0)})
+    p_full = full.apply(variables, **kw, **batch)
+    p_comp = comp.apply(variables, **kw, **batch)
+    np.testing.assert_array_equal(np.asarray(p_full.obj_classes),
+                                  np.asarray(p_comp.obj_classes))
+    for b in range(B):
+        def pairmap(p):
+            ri = np.asarray(p.rel_inds)[b]
+            rs = np.asarray(p.rel_scores)[b]
+            rv = np.asarray(p.rel_valid)[b]
+            return {(int(s), int(o)): rs[k]
+                    for k, (s, o) in enumerate(ri) if rv[k]}
+        m_full, m_comp = pairmap(p_full), pairmap(p_comp)
+        assert set(m_full) == set(m_comp) and m_full, "pair sets differ"
+        for so in m_full:
+            np.testing.assert_allclose(m_full[so], m_comp[so],
+                                       rtol=1e-4, atol=1e-6, err_msg=f"{so}")
