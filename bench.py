@@ -33,10 +33,12 @@ def main():
     from neural_motifs_tpu import config as C
     from neural_motifs_tpu.models.rel_model import RelModel
 
-    # default = the tuned config (batch 24: 41.4 img/s vs 40.9 @b16 /
-    # 38.3 @b8 — the ~25ms fixed per-step runtime overhead amortizes over
-    # more images) so the tracked BENCH artifact reflects real capability
-    batch = int(__import__("os").environ.get("NM_BENCH_BATCH", "24"))
+    # default = the tuned config (round-3 sweep with compaction on:
+    # 78.2 @b24 / 80.4 @b32 / 82.4 @b48 img/s — the ~25ms fixed per-step
+    # runtime overhead amortizes with batch, but b48 pays a ~15min compile
+    # for +2.5%, so b32 is the recorded config) so the tracked BENCH
+    # artifact reflects real capability
+    batch = int(__import__("os").environ.get("NM_BENCH_BATCH", "32"))
     iters = int(__import__("os").environ.get("NM_BENCH_ITERS", "10"))
 
     budgets = C.PadBudgets()
