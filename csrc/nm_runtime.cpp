@@ -11,6 +11,7 @@
 // Build: make -C csrc    (produces libnm_runtime.so)
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -87,6 +88,167 @@ int64_t nm_greedy_nms(const float* boxes, const int64_t* order, int64_t n,
     }
   }
   return kept;
+}
+
+// ---------------------------------------------------------------------------
+// Bilinear (triangle-filter) resample on uint8 HWC images, bit-exact to
+// Pillow's Image.resize(..., BILINEAR) 8-bit path. The reference pipeline
+// resizes every image through PIL (dataloaders/image_transforms.py:8-43 via
+// torchvision Resize), and PIL's scalar convolution is the single most
+// expensive host-side step on this machine (~16 ms for 800x600 -> 592x444 vs
+// ~7 ms JPEG decode). This reimplements the same algorithm — per-axis
+// triangle filter whose support scales with the reduction factor, 22-bit
+// fixed-point coefficients, horizontal pass then vertical pass with uint8
+// rounding between them — so the output is byte-identical to PIL while the
+// tighter loops (and a vectorizable vertical pass) run several times faster.
+// Verified bit-exact against the installed Pillow in
+// tests/test_runtime.py::test_resize_matches_pil.
+
+static const int kPrecisionBits = 32 - 8 - 2;  // Pillow's PRECISION_BITS
+
+static inline uint8_t nm_clip8(int in) {
+  if (in >= (1 << (kPrecisionBits + 8))) return 255;
+  if (in <= 0) return 0;
+  return (uint8_t)(in >> kPrecisionBits);
+}
+
+// Triangle-filter coefficient table for one axis (PIL precompute_coeffs +
+// normalize_coeffs_8bpc, specialized to the bilinear filter, full-axis box).
+// Fills bounds[out*2] = {first_tap, n_taps} and kk[out*ksize] int32 weights.
+static int nm_precompute_coeffs(int64_t in_size, int64_t out_size,
+                                std::vector<int>& bounds,
+                                std::vector<int32_t>& kk) {
+  double scale = (double)in_size / (double)out_size;
+  double filterscale = scale < 1.0 ? 1.0 : scale;
+  double support = 1.0 * filterscale;  // bilinear filter support = 1
+  int ksize = (int)std::ceil(support) * 2 + 1;
+  bounds.resize(out_size * 2);
+  std::vector<double> prekk(out_size * ksize);
+  double ss = 1.0 / filterscale;
+  for (int64_t xx = 0; xx < out_size; ++xx) {
+    double center = (xx + 0.5) * scale;
+    int xmin = (int)(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = (int)(center + support + 0.5);
+    if (xmax > in_size) xmax = (int)in_size;
+    xmax -= xmin;
+    double* k = &prekk[xx * ksize];
+    double ww = 0.0;
+    int x = 0;
+    for (; x < xmax; ++x) {
+      double arg = (x + xmin - center + 0.5) * ss;
+      if (arg < 0) arg = -arg;
+      double w = arg < 1.0 ? 1.0 - arg : 0.0;
+      k[x] = w;
+      ww += w;
+    }
+    for (x = 0; x < xmax; ++x)
+      if (ww != 0.0) k[x] /= ww;
+    for (; x < ksize; ++x) k[x] = 0;
+    bounds[xx * 2] = xmin;
+    bounds[xx * 2 + 1] = xmax;
+  }
+  kk.resize(out_size * ksize);
+  for (size_t i = 0; i < prekk.size(); ++i) {
+    // PIL normalize_coeffs_8bpc: round-half-away-from-zero to fixed point
+    kk[i] = prekk[i] < 0 ? (int32_t)(-0.5 + prekk[i] * (1 << kPrecisionBits))
+                         : (int32_t)(0.5 + prekk[i] * (1 << kPrecisionBits));
+  }
+  return ksize;
+}
+
+// src: [in_h, in_w, ch] uint8 row-major -> dst: [out_h, out_w, ch].
+// Two passes exactly like PIL ImagingResampleInner: horizontal into a
+// uint8 temp image (rounding applied), then vertical.
+void nm_resize_bilinear_u8(const uint8_t* src, int64_t in_h, int64_t in_w,
+                           int64_t ch, uint8_t* dst, int64_t out_h,
+                           int64_t out_w) {
+  const int half = 1 << (kPrecisionBits - 1);
+
+  std::vector<int> hb;
+  std::vector<int32_t> hk;
+  const bool need_h = out_w != in_w;
+  const bool need_v = out_h != in_h;
+  std::vector<uint8_t> tmp_store;
+  const uint8_t* mid = src;
+  int64_t mid_h = in_h;
+  if (need_h) {
+    int hksize = nm_precompute_coeffs(in_w, out_w, hb, hk);
+    tmp_store.resize(in_h * out_w * ch);
+    const int* bp = hb.data();
+    const int32_t* kbase = hk.data();
+    for (int64_t yy = 0; yy < in_h; ++yy) {
+      const uint8_t* row = src + yy * in_w * ch;
+      uint8_t* out_row = tmp_store.data() + yy * out_w * ch;
+      if (ch == 3) {
+        // Hot case: RGB. Trailing coefficients past xmax are zero (PIL
+        // zero-fills them), so away from the right edge every pixel can
+        // run a fixed-trip-count loop over all hksize taps — the compiler
+        // unrolls/vectorizes it — with bit-identical results.
+        for (int64_t xx = 0; xx < out_w; ++xx) {
+          const int xmin = bp[xx * 2];
+          const int32_t* k = kbase + xx * hksize;
+          const uint8_t* p = row + xmin * 3;
+          int a0 = half, a1 = half, a2 = half;
+          if (xmin + hksize <= in_w) {
+            for (int x = 0; x < hksize; ++x, p += 3) {
+              const int32_t w = k[x];
+              a0 += p[0] * w;
+              a1 += p[1] * w;
+              a2 += p[2] * w;
+            }
+          } else {
+            const int xmax = bp[xx * 2 + 1];
+            for (int x = 0; x < xmax; ++x, p += 3) {
+              const int32_t w = k[x];
+              a0 += p[0] * w;
+              a1 += p[1] * w;
+              a2 += p[2] * w;
+            }
+          }
+          out_row[xx * 3] = nm_clip8(a0);
+          out_row[xx * 3 + 1] = nm_clip8(a1);
+          out_row[xx * 3 + 2] = nm_clip8(a2);
+        }
+      } else {
+        for (int64_t xx = 0; xx < out_w; ++xx) {
+          const int xmin = bp[xx * 2], xmax = bp[xx * 2 + 1];
+          const int32_t* k = kbase + xx * hksize;
+          for (int64_t c = 0; c < ch; ++c) {
+            int acc = half;
+            const uint8_t* p = row + xmin * ch + c;
+            for (int x = 0; x < xmax; ++x) acc += p[x * ch] * k[x];
+            out_row[xx * ch + c] = nm_clip8(acc);
+          }
+        }
+      }
+    }
+    mid = tmp_store.data();
+    mid_h = in_h;
+  }
+  const int64_t mid_w = need_h ? out_w : in_w;
+
+  if (need_v) {
+    std::vector<int> vb;
+    std::vector<int32_t> vk;
+    int vksize = nm_precompute_coeffs(mid_h, out_h, vb, vk);
+    const int64_t row_elems = mid_w * ch;
+    std::vector<int32_t> acc(row_elems);
+    for (int64_t yy = 0; yy < out_h; ++yy) {
+      const int ymin = vb[yy * 2], ymax = vb[yy * 2 + 1];
+      const int32_t* k = &vk[yy * vksize];
+      std::fill(acc.begin(), acc.end(), half);
+      for (int y = 0; y < ymax; ++y) {
+        const int32_t w = k[y];
+        const uint8_t* row = mid + (int64_t)(ymin + y) * row_elems;
+        for (int64_t j = 0; j < row_elems; ++j) acc[j] += row[j] * w;
+      }
+      uint8_t* out_row = dst + yy * row_elems;
+      for (int64_t j = 0; j < row_elems; ++j) out_row[j] = nm_clip8(acc[j]);
+    }
+  } else {
+    std::memcpy(dst, mid, (size_t)(mid_h * mid_w * ch));
+  }
 }
 
 // Batched triple counting for the frequency baseline: one pass over all

@@ -51,6 +51,11 @@ def load_library(build_if_missing: bool = True):
     lib.nm_count_triples.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+    if hasattr(lib, "nm_resize_bilinear_u8"):  # absent in stale pre-built .so
+        lib.nm_resize_bilinear_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.c_int64]
     _LIB = lib
     return lib
 
@@ -128,6 +133,32 @@ def greedy_nms(boxes: np.ndarray, scores: np.ndarray, iou_thresh: float
         dead |= iou[i] > iou_thresh
         dead[i] = True
     return keep
+
+
+def resize_bilinear_u8(img: np.ndarray, out_h: int, out_w: int):
+    """PIL-bit-exact BILINEAR resize of a [H, W, C] uint8 image.
+
+    Returns the resized [out_h, out_w, C] uint8 array, or None when the
+    native library is unavailable (callers fall back to PIL). Byte-identical
+    to `Image.resize((out_w, out_h), Image.BILINEAR)` — same triangle
+    filter, fixed-point coefficients and two-pass rounding — but several
+    times faster than Pillow's scalar loops (the resize is the hottest
+    host-side step in the serving path; see csrc/nm_runtime.cpp).
+    """
+    lib = load_library()
+    if lib is None or not hasattr(lib, "nm_resize_bilinear_u8"):
+        return None
+    src = _as(img, np.uint8)
+    if src.ndim == 2:
+        src = src[:, :, None]
+    h, w, ch = src.shape
+    if h == 0 or w == 0 or out_h <= 0 or out_w <= 0:
+        return None
+    out = np.empty((out_h, out_w, ch), np.uint8)
+    lib.nm_resize_bilinear_u8(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, ch,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_h, out_w)
+    return out if img.ndim == 3 else out[:, :, 0]
 
 
 def count_triples(rows: np.ndarray, nc: int, npred: int) -> np.ndarray:

@@ -204,3 +204,42 @@ def test_native_greedy_nms_matches(rng):
     got = greedy_nms(boxes, scores, 0.5)
     exp = np_greedy_nms(boxes, scores, np.ones(40, bool), 0.5)
     np.testing.assert_array_equal(got, exp)
+
+
+def test_native_resize_bitexact_vs_pil(rng):
+    """nm_resize_bilinear_u8 must be byte-identical to PIL BILINEAR —
+    square_pad_resize routes through it by default, so any deviation would
+    silently change every pixel the models (and the parity gate) see."""
+    from PIL import Image
+    from neural_motifs_tpu.runtime import resize_bilinear_u8
+
+    if resize_bilinear_u8(np.zeros((4, 4, 3), np.uint8), 2, 2) is None:
+        import pytest
+        pytest.skip("native runtime unavailable")
+    # downscale, upscale, identity, extreme aspect, tiny
+    for (h, w), (oh, ow) in [((600, 800), (444, 592)), ((100, 100), (592, 592)),
+                             ((64, 48), (64, 48)), ((37, 5), (9, 592)),
+                             ((2, 2), (5, 7)), ((480, 640), (444, 592))]:
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        exp = np.asarray(Image.fromarray(img).resize((ow, oh), Image.BILINEAR))
+        got = resize_bilinear_u8(img, oh, ow)
+        np.testing.assert_array_equal(got, exp, err_msg=f"{(h,w)}->{(oh,ow)}")
+
+
+def test_square_pad_resize_native_matches_pil_path(rng):
+    """The loader's square_pad_resize must give identical bytes whether or
+    not the native fast path is active."""
+    from PIL import Image
+    from neural_motifs_tpu.data.transforms import square_pad_resize
+    from neural_motifs_tpu import runtime as rt
+
+    img = Image.fromarray(rng.randint(0, 256, (300, 420, 3)).astype(np.uint8))
+    arr_native, meta_native = square_pad_resize(img)
+    lib, tried = rt._LIB, rt._TRIED
+    rt._LIB, rt._TRIED = None, True  # force the PIL fallback
+    try:
+        arr_pil, meta_pil = square_pad_resize(img)
+    finally:
+        rt._LIB, rt._TRIED = lib, tried
+    assert meta_native == meta_pil
+    np.testing.assert_array_equal(arr_native, arr_pil)
