@@ -12,9 +12,13 @@
 
 #include <algorithm>
 #include <cmath>
+#include <csetjmp>
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 #include <vector>
+
+#include <jpeglib.h>
 
 extern "C" {
 
@@ -249,6 +253,103 @@ void nm_resize_bilinear_u8(const uint8_t* src, int64_t in_h, int64_t in_w,
   } else {
     std::memcpy(dst, mid, (size_t)(mid_h * mid_w * ch));
   }
+}
+
+// ---------------------------------------------------------------------------
+// Scaled-DCT JPEG decode (serving fast path). libjpeg can decode at any
+// M/8 scale (M=1..8) by running the IDCT on a reduced block size — far
+// cheaper than full decode + resample when the pipeline downscales anyway
+// (every VG image is resized so its long side is IM_SCALE=592). Pillow's
+// Image.draft() only exposes the power-of-two subset, which undershoots
+// 592 for typical VG sizes; this exposes the full M/8 ladder so the loader
+// can pick the smallest scale that still covers the target. NOT bit-exact
+// to full decode + PIL resize — opt-in via NM_FAST_DECODE=1, never used by
+// the parity runbook. Grayscale sources are up-converted to RGB by libjpeg;
+// exotic colorspaces (CMYK/YCCK) are rejected so the caller falls back to
+// PIL.
+
+struct NmJpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jump;
+};
+
+static void nm_jpeg_error_exit(j_common_ptr cinfo) {
+  NmJpegErr* err = (NmJpegErr*)cinfo->err;
+  longjmp(err->jump, 1);
+}
+
+// Header-only parse: fills full-resolution dims + whether we can decode.
+// Returns 1 on success.
+int nm_jpeg_header(const uint8_t* buf, int64_t len, int64_t* w, int64_t* h,
+                   int64_t* decodable) {
+  jpeg_decompress_struct cinfo;
+  NmJpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = nm_jpeg_error_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, (unsigned long)len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  *w = cinfo.image_width;
+  *h = cinfo.image_height;
+  *decodable = (cinfo.jpeg_color_space == JCS_YCbCr ||
+                cinfo.jpeg_color_space == JCS_GRAYSCALE ||
+                cinfo.jpeg_color_space == JCS_RGB);
+  jpeg_destroy_decompress(&cinfo);
+  return 1;
+}
+
+// Decode at scale scale_num/8 into out (RGB, row-major, caller-sized via
+// ceil(dim * scale_num / 8)). Returns 1 and the actual output dims on
+// success, 0 on any decode error.
+int nm_decode_jpeg_scaled(const uint8_t* buf, int64_t len, int64_t scale_num,
+                          uint8_t* out, int64_t out_cap, int64_t* out_w,
+                          int64_t* out_h) {
+  jpeg_decompress_struct cinfo;
+  NmJpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = nm_jpeg_error_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf, (unsigned long)len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  if (cinfo.jpeg_color_space != JCS_YCbCr &&
+      cinfo.jpeg_color_space != JCS_GRAYSCALE &&
+      cinfo.jpeg_color_space != JCS_RGB) {
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  cinfo.scale_num = (unsigned)scale_num;
+  cinfo.scale_denom = 8;
+  jpeg_start_decompress(&cinfo);
+  const int64_t w = cinfo.output_width, h = cinfo.output_height;
+  if (cinfo.output_components != 3 || w * h * 3 > out_cap) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out + (int64_t)cinfo.output_scanline * w * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  *out_w = w;
+  *out_h = h;
+  return 1;
 }
 
 // Batched triple counting for the frequency baseline: one pass over all

@@ -17,8 +17,86 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+_NATIVE_DECODE_STATE = None  # None = unchecked; else bool
+
+
+def _native_decode_ok() -> bool:
+    """One-time self-check: the native libjpeg full decode must be
+    byte-identical to PIL's on a probe JPEG. Pillow bundles its own
+    libjpeg-turbo while csrc links the system one — identical in practice
+    (both are fixed-point deterministic libjpeg numerics), but if a future
+    image pairs versions whose IDCT output differs, this trips and the
+    loader silently stays on PIL, preserving decode parity."""
+    global _NATIVE_DECODE_STATE
+    if _NATIVE_DECODE_STATE is None:
+        try:
+            import io
+
+            from PIL import Image
+
+            from neural_motifs_tpu.runtime import decode_jpeg_scaled
+
+            rng = np.random.RandomState(7)
+            probe = Image.fromarray(
+                np.kron(rng.randint(0, 256, (12, 16, 3)),
+                        np.ones((8, 8, 1))).astype(np.uint8))
+            buf = io.BytesIO()
+            probe.save(buf, "JPEG", quality=88)
+            data = buf.getvalue()
+            nat = decode_jpeg_scaled(data, 8)
+            pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+            _NATIVE_DECODE_STATE = (nat is not None
+                                    and np.array_equal(nat, pil))
+        except Exception:
+            _NATIVE_DECODE_STATE = False
+    return _NATIVE_DECODE_STATE
+
+
+def decode_image_rgb(path: str) -> np.ndarray:
+    """Image file -> [h, w, 3] uint8 RGB.
+
+    Default: native libjpeg decode (csrc), verified byte-identical to PIL
+    by the one-time self-check, with a PIL fallback for anything the
+    native path rejects (non-JPEG, CMYK, truncated streams).
+
+    NM_FAST_DECODE=1 (serving opt-in, never the parity path): images whose
+    long side is large enough decode at M/8 scale via libjpeg's scaled
+    IDCT — cheaper than full decode + downsample. Only scales M <= 4 are
+    used (libjpeg-turbo SIMD-optimizes the power-of-two IDCTs; 5/8..7/8
+    measured SLOWER than full decode) and only when the scaled long side
+    still covers IM_SCALE, so the later resize never upscales.
+    """
+    import os
+
+    if _native_decode_ok():
+        from neural_motifs_tpu.runtime import decode_jpeg_scaled, jpeg_header
+
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError:
+            data = None
+        if data is not None:
+            scale_num = 8
+            if os.environ.get("NM_FAST_DECODE"):
+                hdr = jpeg_header(data)
+                if hdr is not None and hdr[2]:
+                    long_side = max(hdr[0], hdr[1])
+                    for m in (2, 3, 4):
+                        if -(-long_side * m // 8) >= IM_SCALE:
+                            scale_num = m
+                            break
+            arr = decode_jpeg_scaled(data, scale_num)
+            if arr is not None:
+                return arr
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"), np.uint8)
+
+
 def square_pad_resize(img) -> tuple[np.ndarray, tuple[int, int, float]]:
-    """PIL image -> ([h', w', 3] uint8 RAW pixels, (h', w', scale)).
+    """PIL image or [h, w, 3] uint8 array
+    -> ([h', w', 3] uint8 RAW pixels, (h', w', scale)).
 
     Resizes so the long side is IM_SCALE; the collate pads to
     [IM_SCALE, IM_SCALE]. Pixels stay uint8 so each image ships to the
@@ -29,9 +107,11 @@ def square_pad_resize(img) -> tuple[np.ndarray, tuple[int, int, float]]:
     im_hw, matching the reference's mean padding
     (dataloaders/image_transforms.py SquarePad).
     """
-    from PIL import Image
-
-    w, h = img.size
+    is_array = isinstance(img, np.ndarray)
+    if is_array:
+        h, w = img.shape[:2]
+    else:
+        w, h = img.size
     scale = IM_SCALE / max(w, h)
     if h > w:
         size = (max(1, round(w * scale)), IM_SCALE)
@@ -41,12 +121,18 @@ def square_pad_resize(img) -> tuple[np.ndarray, tuple[int, int, float]]:
     # BILINEAR but ~2x faster — the resize is the hottest host-side step in
     # the serving path (tools/bench_e2e_eval.py). Fall back to PIL when the
     # library is unavailable or the image isn't 8-bit RGB.
-    if img.mode == "RGB":
+    if is_array or img.mode == "RGB":
         from neural_motifs_tpu.runtime import resize_bilinear_u8
 
-        arr = resize_bilinear_u8(np.asarray(img, np.uint8), size[1], size[0])
+        arr = resize_bilinear_u8(np.ascontiguousarray(img, np.uint8)
+                                 if is_array else np.asarray(img, np.uint8),
+                                 size[1], size[0])
         if arr is not None:
             return arr, (arr.shape[0], arr.shape[1], scale)
+    from PIL import Image
+
+    if is_array:
+        img = Image.fromarray(img)
     img = img.resize(size, Image.BILINEAR)
     arr = np.asarray(img, np.uint8)
     return arr, (arr.shape[0], arr.shape[1], scale)

@@ -28,7 +28,8 @@ from collections import defaultdict
 import numpy as np
 
 from neural_motifs_tpu import config as C
-from neural_motifs_tpu.data.transforms import square_pad_resize
+from neural_motifs_tpu.data.transforms import (decode_image_rgb,
+                                               square_pad_resize)
 
 
 def _np_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -220,24 +221,23 @@ class VG:
                 cls("test", *args, **kw))
 
     def __getitem__(self, index: int) -> dict:
-        from PIL import Image
-
-        img = Image.open(self.filenames[index]).convert("RGB")
+        # native decode (csrc libjpeg path; byte-identical to PIL per the
+        # one-time self-check in transforms._native_decode_ok)
+        img = decode_image_rgb(self.filenames[index])
         gt_boxes = self.gt_boxes[index].copy()
         flipped = self.is_train and self.rng.random_sample() > 0.5
 
         if self.is_train:
             # clamp boxes that leak past the image (visual_genome.py:150-154)
-            w, h = img.size
+            h, w = img.shape[:2]
             f = C.BOX_SCALE / max(w, h)
             gt_boxes[:, [1, 3]] = gt_boxes[:, [1, 3]].clip(None, f * h)
             gt_boxes[:, [0, 2]] = gt_boxes[:, [0, 2]].clip(None, f * w)
 
-        w, h = img.size
+        h, w = img.shape[:2]
         if flipped:
-            from PIL import Image as PILImage
             scaled_w = int(C.BOX_SCALE / max(w, h) * w)
-            img = img.transpose(PILImage.FLIP_LEFT_RIGHT)
+            img = img[:, ::-1]
             gt_boxes[:, [0, 2]] = scaled_w - gt_boxes[:, [2, 0]]
 
         arr, img_size = square_pad_resize(img)

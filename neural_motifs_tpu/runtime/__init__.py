@@ -56,6 +56,17 @@ def load_library(build_if_missing: bool = True):
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
             ctypes.c_int64]
+    if hasattr(lib, "nm_decode_jpeg_scaled"):
+        lib.nm_jpeg_header.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64)]
+        lib.nm_jpeg_header.restype = ctypes.c_int
+        lib.nm_decode_jpeg_scaled.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+        lib.nm_decode_jpeg_scaled.restype = ctypes.c_int
     _LIB = lib
     return lib
 
@@ -159,6 +170,52 @@ def resize_bilinear_u8(img: np.ndarray, out_h: int, out_w: int):
         src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, ch,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_h, out_w)
     return out if img.ndim == 3 else out[:, :, 0]
+
+
+def jpeg_header(data: bytes):
+    """(width, height, decodable) of a JPEG byte stream, or None when the
+    native library is unavailable or the stream isn't a parseable JPEG."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "nm_jpeg_header"):
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    w = ctypes.c_int64()
+    h = ctypes.c_int64()
+    ok = ctypes.c_int64()
+    if not lib.nm_jpeg_header(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+            ctypes.byref(w), ctypes.byref(h), ctypes.byref(ok)):
+        return None
+    return w.value, h.value, bool(ok.value)
+
+
+def decode_jpeg_scaled(data: bytes, scale_num: int):
+    """Decode JPEG bytes to RGB uint8 at scale_num/8 of full resolution
+    using libjpeg's scaled IDCT (serving fast path; see csrc). Returns the
+    [h, w, 3] array or None on failure/unavailability. scale_num=8 is a
+    full-resolution decode."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "nm_decode_jpeg_scaled"):
+        return None
+    hdr = jpeg_header(data)
+    if hdr is None or not hdr[2]:
+        return None
+    fw, fh, _ = hdr
+    # libjpeg output dims at M/8: ceil(dim * M / 8)
+    ow = -(-fw * scale_num // 8)
+    oh = -(-fh * scale_num // 8)
+    buf = np.frombuffer(data, np.uint8)
+    out = np.empty((oh, ow, 3), np.uint8)
+    w = ctypes.c_int64()
+    h = ctypes.c_int64()
+    if not lib.nm_decode_jpeg_scaled(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(buf),
+            scale_num, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            out.size, ctypes.byref(w), ctypes.byref(h)):
+        return None
+    if (h.value, w.value) != (oh, ow):  # defensive: dims disagree with calc
+        return None
+    return out
 
 
 def count_triples(rows: np.ndarray, nc: int, npred: int) -> np.ndarray:

@@ -243,3 +243,74 @@ def test_square_pad_resize_native_matches_pil_path(rng):
         rt._LIB, rt._TRIED = lib, tried
     assert meta_native == meta_pil
     np.testing.assert_array_equal(arr_native, arr_pil)
+
+
+def test_native_jpeg_decode_bitexact_vs_pil(rng, tmp_path):
+    """nm_decode_jpeg_scaled at 8/8 must byte-match PIL's decode (both are
+    libjpeg; the loader self-check gates the native default on this)."""
+    import io
+    from PIL import Image
+    from neural_motifs_tpu.runtime import decode_jpeg_scaled
+
+    if decode_jpeg_scaled(b"", 8) is not None:  # pragma: no cover
+        raise AssertionError("garbage stream must not decode")
+    probe = np.kron(rng.randint(0, 256, (30, 40, 3)), np.ones((8, 8, 1)))
+    cases = [(Image.fromarray(probe.astype(np.uint8)), q)
+             for q in (70, 90, 95)]
+    cases.append((Image.fromarray(probe[:, :, 0].astype(np.uint8), "L"), 90))
+    import pytest
+    for img, q in cases:
+        buf = io.BytesIO()
+        img.save(buf, "JPEG", quality=q)
+        data = buf.getvalue()
+        nat = decode_jpeg_scaled(data, 8)
+        if nat is None:
+            pytest.skip("native runtime unavailable")
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        np.testing.assert_array_equal(nat, pil, err_msg=f"mode={img.mode} q={q}")
+
+
+def test_decode_image_rgb_matches_pil_and_fast_mode(rng, tmp_path, monkeypatch):
+    import io
+    from PIL import Image
+    from neural_motifs_tpu.data import transforms as T
+
+    arr = np.kron(rng.randint(0, 256, (96, 128, 3)), np.ones((8, 8, 1)))
+    big = Image.fromarray(arr.astype(np.uint8))  # 1024x768 (> 2x IM_SCALE? no: 1024)
+    fn = str(tmp_path / "a.jpg")
+    big.save(fn, quality=90)
+
+    monkeypatch.delenv("NM_FAST_DECODE", raising=False)
+    got = T.decode_image_rgb(fn)
+    exp = np.asarray(Image.open(fn).convert("RGB"))
+    np.testing.assert_array_equal(got, exp)
+
+    # fast mode: 1024 long side has no M<=4 with ceil(1024*M/8) >= 592
+    # (4/8 -> 512), so it must still decode at full resolution
+    monkeypatch.setenv("NM_FAST_DECODE", "1")
+    got_fast = T.decode_image_rgb(fn)
+    np.testing.assert_array_equal(got_fast, exp)
+
+    # a 2368-px image admits 2/8 (592) — fast mode may legally return the
+    # scaled decode; it must cover IM_SCALE and stay close to a reference
+    # downsample of the exact decode
+    huge = Image.fromarray(np.kron(rng.randint(0, 256, (74, 74, 3)),
+                                   np.ones((32, 32, 1))).astype(np.uint8))
+    fn2 = str(tmp_path / "b.jpg")
+    huge.save(fn2, quality=90)
+    fast = T.decode_image_rgb(fn2)
+    assert max(fast.shape[:2]) >= T.IM_SCALE
+    assert fast.shape[0] == fast.shape[1] == 592  # ceil(2368 * 2/8) = 592
+    # quality: scaled-DCT decode ~ area-downsampled exact decode
+    exact = np.asarray(Image.open(fn2).convert("RGB"))
+    ref = np.asarray(Image.fromarray(exact).resize((592, 592), Image.BILINEAR))
+    err = np.abs(fast.astype(float) - ref.astype(float)).mean()
+    assert err < 8.0, f"scaled decode too far from reference downsample: {err}"
+
+    # non-JPEG falls back to PIL
+    png = str(tmp_path / "c.png")
+    Image.fromarray(rng.randint(0, 256, (20, 30, 3)).astype(np.uint8)).save(png)
+    monkeypatch.delenv("NM_FAST_DECODE", raising=False)
+    got_png = T.decode_image_rgb(png)
+    np.testing.assert_array_equal(got_png,
+                                  np.asarray(Image.open(png).convert("RGB")))

@@ -54,9 +54,9 @@ class JpegDataset:
         return len(self.files)
 
     def __getitem__(self, i):
-        from PIL import Image
+        from neural_motifs_tpu.data.transforms import decode_image_rgb
 
-        img = Image.open(self.files[i]).convert("RGB")
+        img = decode_image_rgb(self.files[i])
         arr, img_size = square_pad_resize(img)
         return {"img": arr, "img_size": img_size,
                 "gt_boxes": self.gt_boxes[i], "gt_classes": self.gt_classes[i],
