@@ -181,6 +181,12 @@ class ModelConfig:
                           # in backward instead of storing 592^2 activations
                           # (enables larger detector-pretraining batches)
     budgets: PadBudgets = dataclasses.field(default_factory=PadBudgets)
+    # rectangular image pad budget (pad_h, pad_w) for aspect-bucketed
+    # serving: e.g. (448, 592) for a landscape-bucket eval cuts ~25% of the
+    # backbone FLOPs vs the square (592, 592) budget. None = square
+    # IM_SCALE budget. Rect-path fidelity is oracle-tested
+    # (tests/test_e2e_parity.py sgdet rect case).
+    im_budget: Optional[tuple] = None
 
     def __post_init__(self):
         if self.mode not in MODES:
@@ -243,6 +249,9 @@ class ModelConfig:
                        default=PadBudgets.objs_per_img)
         p.add_argument("-max_pairs_eval", dest="max_pairs_eval", type=int,
                        default=PadBudgets.max_pairs_eval)
+        p.add_argument("-im_budget", dest="im_budget", type=str, default="",
+                       help="HxW rectangular image pad budget for "
+                            "aspect-bucketed serving, e.g. 448x592")
         p.add_argument("-pass_in_obj_feats_to_decoder",
                        dest="pass_in_obj_feats_to_decoder", action="store_true")
         p.add_argument("-pass_in_obj_feats_to_edge",
@@ -264,6 +273,11 @@ class ModelConfig:
                      ("max_gt_boxes", "max_gt_rels", "objs_per_img",
                       "max_pairs_eval")}
         args["budgets"] = PadBudgets(**budget_kw)
+        if args.get("im_budget"):
+            h, w = args["im_budget"].lower().split("x")
+            args["im_budget"] = (int(h), int(w))
+        else:
+            args["im_budget"] = None
         cfg = cls(**args)
         print("~~~~~~~~ Hyperparameters used: ~~~~~~~")
         for k, v in sorted(dataclasses.asdict(cfg).items()):

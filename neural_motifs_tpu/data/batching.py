@@ -51,22 +51,37 @@ class Batch(NamedTuple):
 
 
 def collate(entries: Sequence[dict], budgets: C.PadBudgets | None = None,
-            num_proposals: int = 2000) -> Batch:
+            num_proposals: int = 2000,
+            im_budget: tuple[int, int] | None = None) -> Batch:
     """Stack per-image dicts (from VG.__getitem__ / synthetic) into a Batch.
 
     Each entry: img [H, W, 3] uint8 raw (or f32 normalized); img_size (h, w, scale);
     gt_boxes [g, 4] at BOX_SCALE; gt_classes [g]; gt_relations [r, 3];
     index; optional proposals [p, 5].
+
+    `im_budget` (pad_h, pad_w) pads images to a rectangular budget instead
+    of the square IM_SCALE one (aspect-bucketed serving: a 4:3-landscape
+    bucket at (448, 592) cuts ~25% of the backbone FLOPs; the anchor grid
+    follows the budget and valid outputs are unchanged — see
+    models/detector.py). Every image must fit; a too-small budget raises
+    rather than silently cropping.
     """
     budgets = budgets or C.PadBudgets()
     g, r = budgets.max_gt_boxes, budgets.max_gt_rels
     b = len(entries)
+    pad_h, pad_w = im_budget or (C.IM_SCALE, C.IM_SCALE)
+    for e in entries:
+        eh, ew = e["img"].shape[:2]
+        if eh > pad_h or ew > pad_w:
+            raise ValueError(
+                f"image {e.get('index')} is ({eh}, {ew}) but the image pad "
+                f"budget is ({pad_h}, {pad_w}) — use a larger bucket")
 
     # image dtype follows the entries: uint8 raw pixels from the real
     # datasets (normalized in-graph; 4x less host->device transfer), f32
     # pre-normalized arrays from synthetic/test paths
     img_dtype = np.asarray(entries[0]["img"]).dtype
-    images = np.zeros((b, C.IM_SCALE, C.IM_SCALE, 3), img_dtype)
+    images = np.zeros((b, pad_h, pad_w, 3), img_dtype)
     im_hw = np.zeros((b, 2), np.float32)
     im_scale = np.zeros((b,), np.float32)
     gt_boxes = np.zeros((b, g, 4), np.float32)
@@ -166,10 +181,11 @@ def device_prefetch(loader, prepare, depth: int = 2):
         yield item
 
 
-def _load_chunk(dataset, chunk, budgets) -> Batch:
+def _load_chunk(dataset, chunk, budgets, im_budget=None) -> Batch:
     """Decode + collate one batch worth of entries (runs in a worker
     process when num_workers > 1)."""
-    return collate([dataset[int(i)] for i in chunk], budgets)
+    return collate([dataset[int(i)] for i in chunk], budgets,
+                   im_budget=im_budget)
 
 
 # Worker-process state: the dataset/budgets are shipped ONCE per worker via
@@ -178,10 +194,11 @@ def _load_chunk(dataset, chunk, budgets) -> Batch:
 _WORKER_STATE: dict = {}
 
 
-def _pool_init(dataset, budgets, seed_base: int):
+def _pool_init(dataset, budgets, seed_base: int, im_budget=None):
     import os
     _WORKER_STATE["dataset"] = dataset
     _WORKER_STATE["budgets"] = budgets
+    _WORKER_STATE["im_budget"] = im_budget
     # decorrelate per-worker augmentation randomness (flip/dup-rel sampling)
     rng_attr = getattr(dataset, "rng", None)
     if rng_attr is not None:
@@ -190,7 +207,8 @@ def _pool_init(dataset, budgets, seed_base: int):
 
 def _pool_load(chunk) -> Batch:
     return _load_chunk(_WORKER_STATE["dataset"], chunk,
-                       _WORKER_STATE["budgets"])
+                       _WORKER_STATE["budgets"],
+                       _WORKER_STATE.get("im_budget"))
 
 
 class Loader:
@@ -213,11 +231,13 @@ class Loader:
                  budgets: C.PadBudgets | None = None, drop_last: bool = True,
                  seed: int = 0, prefetch: int = 2, num_workers: int = 1,
                  process_index: int | None = None,
-                 process_count: int | None = None):
+                 process_count: int | None = None,
+                 im_budget: tuple[int, int] | None = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.budgets = budgets or C.PadBudgets()
+        self.im_budget = im_budget
         self.drop_last = drop_last
         self.rng = np.random.RandomState(seed)
         self.prefetch = max(prefetch, 1)
@@ -288,7 +308,8 @@ class Loader:
 
     def _batches(self):
         for chunk in self._chunks():
-            yield _load_chunk(self.dataset, chunk, self.budgets)
+            yield _load_chunk(self.dataset, chunk, self.budgets,
+                              self.im_budget)
 
     def __iter__(self):
         """Prefetched iteration: decode + collate overlap the device step.
@@ -340,7 +361,8 @@ class Loader:
         with ProcessPoolExecutor(
                 max_workers=self.num_workers, initializer=_pool_init,
                 initargs=(self.dataset, self.budgets,
-                          int(self.rng.randint(1 << 30)))) as pool:
+                          int(self.rng.randint(1 << 30)),
+                          self.im_budget)) as pool:
             pending: collections.deque = collections.deque()
             for chunk in self._chunks():
                 pending.append(pool.submit(_pool_load, chunk))

@@ -243,8 +243,12 @@ class ObjectDetector(nn.Module):
                       & (ww < im_hw[:, 1, None, None]))
             images = x * inside[..., None]
         fmap = self.feature_map(images)
-        # anchors are a compile-time constant for the (static) input size
-        anchors = jnp.asarray(generate_anchors(im_scale=images.shape[1]))
+        # anchors are a compile-time constant for the (static) input size;
+        # rectangular pad budgets (aspect-bucketed serving) get the matching
+        # rect grid — cells beyond im_hw are invalidated in rpn_proposals
+        # either way, so the budget shape never changes valid outputs
+        anchors = jnp.asarray(generate_anchors(
+            im_scale=(images.shape[1], images.shape[2])))
         grid = (fmap.shape[1], fmap.shape[2], C.NUM_ANCHORS)
 
         rpn_feats = None

@@ -45,17 +45,25 @@ def generate_base_anchors(base_size: int = ANCHOR_SIZE,
     return anchors.astype(np.float32)
 
 
-@functools.lru_cache(maxsize=4)
+@functools.lru_cache(maxsize=8)
 def generate_anchors(base_size: int = ANCHOR_SIZE,
                      feat_stride: int = FEAT_STRIDE,
-                     im_scale: int = IM_SCALE,
+                     im_scale=IM_SCALE,
                      anchor_scales=ANCHOR_SCALES,
                      anchor_ratios=ANCHOR_RATIOS) -> np.ndarray:
     """[H, W, A, 4] anchor grid (generate_anchors.py:39-52): base anchors
-    shifted by (x*stride, y*stride) for each feature-map cell."""
+    shifted by (x*stride, y*stride) for each feature-map cell.
+
+    `im_scale` is either the square image size or an (im_h, im_w) tuple —
+    rectangular pad budgets (aspect-bucketed serving) grid the same base
+    anchors over an H x W cell grid; a rect grid is exactly the top-left
+    sub-grid of the square one, so results for valid cells are unchanged.
+    """
     base = generate_base_anchors(base_size, anchor_ratios, anchor_scales)
-    n = im_scale // feat_stride
-    shift = np.arange(n, dtype=np.float32) * feat_stride
-    sx, sy = np.meshgrid(shift, shift)                    # [H, W] each; sx varies along W
+    im_h, im_w = ((im_scale, im_scale) if isinstance(im_scale, int)
+                  else im_scale)
+    shift_y = np.arange(im_h // feat_stride, dtype=np.float32) * feat_stride
+    shift_x = np.arange(im_w // feat_stride, dtype=np.float32) * feat_stride
+    sx, sy = np.meshgrid(shift_x, shift_y)                # [H, W] each; sx varies along W
     shifts = np.stack([sx, sy, sx, sy], axis=-1)          # [H, W, 4]
     return (shifts[:, :, None, :] + base[None, None]).astype(np.float32)

@@ -153,7 +153,8 @@ def make_classifier_det_fn(eval_data, cfg, train_data):
                            dtype=jnp.dtype(cfg.compute_dtype),
                            budgets=cfg.budgets)
     loader = Loader(eval_data, cfg.batch_size, shuffle=False,
-                    budgets=cfg.budgets, num_workers=cfg.num_workers)
+                    budgets=cfg.budgets, num_workers=cfg.num_workers,
+                    im_budget=cfg.im_budget)
     kwargs = lambda b: dict(images=b.images, im_hw=b.im_hw,
                             gt_boxes=b.gt_boxes, gt_classes=b.gt_classes,
                             gt_mask=b.gt_mask)
@@ -200,7 +201,8 @@ def make_detector_det_fn(eval_data, cfg, train_data):
                            thresh=0.01, dtype=jnp.dtype(cfg.compute_dtype),
                            budgets=cfg.budgets)
     loader = Loader(eval_data, cfg.batch_size, shuffle=False,
-                    budgets=cfg.budgets, num_workers=cfg.num_workers)
+                    budgets=cfg.budgets, num_workers=cfg.num_workers,
+                    im_budget=cfg.im_budget)
     kwargs = lambda b: dict(images=b.images, im_hw=b.im_hw,
                             proposals=b.proposals,
                             proposal_mask=b.proposal_mask)

@@ -39,7 +39,8 @@ def main(argv=None, datasets=None):
 
     model = build_model(cfg, train)
     loader = Loader(data, cfg.batch_size * cfg.num_devices, shuffle=False,
-                    budgets=cfg.budgets, num_workers=cfg.num_workers)
+                    budgets=cfg.budgets, num_workers=cfg.num_workers,
+                    im_budget=cfg.im_budget)
     example = next(iter(loader))
     variables = model.init({"params": jax.random.PRNGKey(0),
                             "sample": jax.random.PRNGKey(1),

@@ -119,3 +119,37 @@ def test_remat_backbone_same_loss_and_grads(rng):
     for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
                                    atol=1e-7)
+
+
+def test_rect_anchor_grid_is_square_subgrid():
+    """The rect anchor grid must be exactly the top-left sub-grid of the
+    square one (aspect-bucketed budgets change only how much grid exists,
+    never anchor geometry)."""
+    from neural_motifs_tpu.ops.anchors import generate_anchors
+
+    sq = generate_anchors(im_scale=64)
+    rect = generate_anchors(im_scale=(48, 64))
+    assert rect.shape == (3, 4, sq.shape[2], 4)
+    np.testing.assert_array_equal(rect, sq[:3])
+
+
+def test_collate_rect_im_budget(rng):
+    from neural_motifs_tpu.data.batching import collate
+
+    entries = []
+    for i in range(2):
+        h, w = 40 + 4 * i, 60
+        entries.append({
+            "img": rng.randint(0, 255, (h, w, 3)).astype(np.uint8),
+            "img_size": (h, w, 1.0),
+            "gt_boxes": np.array([[1.0, 1.0, 10.0, 10.0]], np.float32),
+            "gt_classes": np.array([1], np.int32),
+            "gt_relations": np.zeros((0, 3), np.int32),
+            "index": i,
+        })
+    b = collate(entries, im_budget=(48, 64))
+    assert b.images.shape[1:3] == (48, 64)
+    assert (b.images[0, 44:] == 0).all()
+    import pytest
+    with pytest.raises(ValueError, match="pad budget"):
+        collate(entries, im_budget=(32, 64))

@@ -423,7 +423,7 @@ def oracle_rpn_proposals(sd, fmap_hwc, im_h, im_w, post_topn):
 
     cls_logits = feats[..., :2]
     probs = ref.np_softmax(cls_logits, -1)[..., 1]
-    anchors = np.asarray(generate_anchors(im_scale=h * 16))       # [h,w,20,4]
+    anchors = np.asarray(generate_anchors(im_scale=(h * 16, w * 16)))  # [h,w,20,4]
     boxes = np_bbox_preds(anchors.reshape(-1, 4),
                           feats[..., 2:].reshape(-1, 4))
     probs = probs.reshape(h, w, 20).copy()
@@ -461,12 +461,22 @@ def oracle_filter_det(probs, boxes_all, max_per_img, thresh):
     return sel, scores_pre[sel], labels_pre[sel]
 
 
-def test_detector_sgdet_end_to_end_parity(rng):
+import pytest
+
+
+@pytest.mark.parametrize("im_h,im_w", [(IM, IM), (64, IM)])
+def test_detector_sgdet_end_to_end_parity(rng, im_h, im_w):
     """Full refinerels detector chain from a raw image vs the reference
     oracle: RPN conv + ReLU6 + anchor decode + border/size filters +
     proposal NMS@0.7, RoI scoring, per-class box decode + clip, per-class
     NMS@0.3 + duplicate filtering + top-K, and the class-0-prior convention
-    of boxes_all."""
+    of boxes_all.
+
+    The (64, 96) case drives the rectangular image budget (aspect-bucketed
+    serving): the oracle always computes on the exact-size image (the
+    reference evals with b=1 image-sized blobs, dataloaders/blob.py), so
+    parity here proves the rect-budget path — rect anchor grid, rect
+    feature map, axis-wise clipping — reproduces the reference chain."""
     from neural_motifs_tpu.models.detector import ObjectDetector
 
     sd = fabricate_full_sd(rng)
@@ -477,9 +487,9 @@ def test_detector_sgdet_end_to_end_parity(rng):
     det = ObjectDetector(num_classes=NC, mode="refinerels", thresh=0.01,
                          max_per_img=max_det, dtype=jnp.float32,
                          obj_dim=OBJ_DIM, budgets=budgets)
-    image = (rng.randn(IM, IM, 3) * 0.4).astype(np.float32)
+    image = (rng.randn(im_h, im_w, 3) * 0.4).astype(np.float32)
     kw = dict(images=jnp.asarray(image[None]),
-              im_hw=jnp.asarray([[float(IM), float(IM)]]))
+              im_hw=jnp.asarray([[float(im_h), float(im_w)]]))
     init_kw = dict(kw, gt_boxes=jnp.zeros((1, G, 4)),
                    gt_classes=jnp.zeros((1, G), jnp.int32),
                    gt_mask=jnp.zeros((1, G), bool))
@@ -497,7 +507,7 @@ def test_detector_sgdet_end_to_end_parity(rng):
 
     # ---- oracle ----
     fmap = torch_vgg_features(sd, image)
-    props = oracle_rpn_proposals(sd, fmap, IM, IM, post)
+    props = oracle_rpn_proposals(sd, fmap, im_h, im_w, post)
     pool = oracle_roi_pool_flat(fmap, props)
     feat = ref.np_obj_tower(
         {"roi_fmap_obj.0.weight": sd["detector.roi_fmap.0.weight"],
@@ -510,7 +520,8 @@ def test_detector_sgdet_end_to_end_parity(rng):
                            sd["detector.bbox_fc.bias"]).reshape(-1, NC, 4)
     probs = ref.np_softmax(logits, -1)
     boxes_all = np_bbox_preds(np.repeat(props[:, None], NC, 1), deltas)
-    boxes_all = boxes_all.clip(0, IM - 1)
+    boxes_all[..., [0, 2]] = boxes_all[..., [0, 2]].clip(0, im_w - 1)
+    boxes_all[..., [1, 3]] = boxes_all[..., [1, 3]].clip(0, im_h - 1)
     sel, exp_scores, exp_labels = oracle_filter_det(probs, boxes_all,
                                                     max_det, 0.01)
 
@@ -689,6 +700,7 @@ def test_stanford_sgdet_end_to_end_parity(rng):
     """Full Stanford sgdet chain from a raw image: refinerels detector ->
     overlap-gated pairs -> message passing -> filter_det-style decode with
     boxes_all box selection (rel_model_stanford.py:168-204)."""
+    im_h = im_w = IM
     sd = make_stanford_sd(rng)
 
     post, max_det = 16, G
@@ -702,9 +714,9 @@ def test_stanford_sgdet_end_to_end_parity(rng):
         pooling_dim=POOL_DIM, size=GSIZE, dtype=jnp.float32, budgets=budgets,
         thresh=0.01)
 
-    image = (rng.randn(IM, IM, 3) * 0.4).astype(np.float32)
+    image = (rng.randn(im_h, im_w, 3) * 0.4).astype(np.float32)
     kw = dict(images=jnp.asarray(image[None]),
-              im_hw=jnp.asarray([[float(IM), float(IM)]]))
+              im_hw=jnp.asarray([[float(im_h), float(im_w)]]))
     init_kw = dict(kw, gt_boxes=jnp.zeros((1, G, 4)),
                    gt_classes=jnp.zeros((1, G), jnp.int32),
                    gt_mask=jnp.zeros((1, G), bool),
@@ -719,7 +731,7 @@ def test_stanford_sgdet_end_to_end_parity(rng):
 
     # ---- oracle: detector chain (reused from the MotifNet sgdet test) ----
     fmap = torch_vgg_features(sd, image)
-    props = oracle_rpn_proposals(sd, fmap, IM, IM, post)
+    props = oracle_rpn_proposals(sd, fmap, im_h, im_w, post)
     pool = oracle_roi_pool_flat(fmap, props)
     feat = ref.np_obj_tower(
         {"roi_fmap_obj.0.weight": sd["detector.roi_fmap.0.weight"],
@@ -732,7 +744,8 @@ def test_stanford_sgdet_end_to_end_parity(rng):
                            sd["detector.bbox_fc.bias"]).reshape(-1, NC, 4)
     probs = ref.np_softmax(logits, -1)
     boxes_all = np_bbox_preds(np.repeat(props[:, None], NC, 1), deltas)
-    boxes_all = boxes_all.clip(0, IM - 1)
+    boxes_all[..., [0, 2]] = boxes_all[..., [0, 2]].clip(0, im_w - 1)
+    boxes_all[..., [1, 3]] = boxes_all[..., [1, 3]].clip(0, im_h - 1)
     sel, _, _ = oracle_filter_det(probs, boxes_all, max_det, 0.01)
     boxes = props[sel]
     ba = boxes_all[sel].copy()

@@ -60,8 +60,17 @@ def main(n_images=96, batch=8):
         decoder_embed_vecs=rng.randn(nc + 1, 100).astype(np.float32) * 0.1,
         freq_table=rng.randn(nc * nc, npred).astype(np.float32) * 0.1)
 
+    # NM_IM_BUDGET=448x592 pads to a rect landscape bucket (the fabricated
+    # 1024x768 JPEGs resize to 444x592) instead of the square 592x592 —
+    # measures the aspect-bucketed serving win (~25% fewer backbone FLOPs)
+    im_budget = None
+    if os.environ.get("NM_IM_BUDGET"):
+        hh, ww = os.environ["NM_IM_BUDGET"].lower().split("x")
+        im_budget = (int(hh), int(ww))
+        print(f"# im_budget {im_budget}")
     loader = Loader(ds, batch, shuffle=False, num_workers=1, prefetch=4,
-                    budgets=budgets, process_index=0, process_count=1)
+                    budgets=budgets, process_index=0, process_count=1,
+                    im_budget=im_budget)
 
     # init from the first batch
     first = next(iter(loader))
