@@ -26,6 +26,12 @@ MODES = ("sgdet", "sgcls", "predcls")
 
 BOX_SCALE = 1024  # scale at which GT boxes are stored
 IM_SCALE = int(os.environ.get("NM_TPU_IM_SCALE", 592))
+# aspect buckets for -im_budget auto (landscape / portrait / square); each
+# image is collated into the smallest bucket covering its post-resize shape.
+# 16-aligned so the stride-16 anchor grid tiles exactly.
+DEFAULT_IM_BUCKETS = (((IM_SCALE * 3 // 4 + 15) // 16 * 16, IM_SCALE),
+                      (IM_SCALE, (IM_SCALE * 3 // 4 + 15) // 16 * 16),
+                      (IM_SCALE, IM_SCALE))
 # ^ network input resolution (long side, square-padded). The env override is
 # a dry-run/test hook ONLY (e.g. the parity-runbook fixture test) — the
 # reference trains/evals at 592 and every released checkpoint assumes it.
@@ -183,10 +189,12 @@ class ModelConfig:
     budgets: PadBudgets = dataclasses.field(default_factory=PadBudgets)
     # rectangular image pad budget (pad_h, pad_w) for aspect-bucketed
     # serving: e.g. (448, 592) for a landscape-bucket eval cuts ~25% of the
-    # backbone FLOPs vs the square (592, 592) budget. None = square
-    # IM_SCALE budget. Rect-path fidelity is oracle-tested
-    # (tests/test_e2e_parity.py sgdet rect case).
-    im_budget: Optional[tuple] = None
+    # backbone FLOPs vs the square (592, 592) budget. "auto" buckets every
+    # image into the smallest of DEFAULT_IM_BUCKETS that covers it (one
+    # compiled program per bucket). None = square IM_SCALE budget.
+    # Rect-path fidelity is oracle-tested (tests/test_e2e_parity.py
+    # sgdet rect case).
+    im_budget: Optional[object] = None
 
     def __post_init__(self):
         if self.mode not in MODES:
@@ -273,7 +281,9 @@ class ModelConfig:
                      ("max_gt_boxes", "max_gt_rels", "objs_per_img",
                       "max_pairs_eval")}
         args["budgets"] = PadBudgets(**budget_kw)
-        if args.get("im_budget"):
+        if args.get("im_budget") == "auto":
+            args["im_budget"] = "auto"
+        elif args.get("im_budget"):
             h, w = args["im_budget"].lower().split("x")
             args["im_budget"] = (int(h), int(w))
         else:

@@ -194,21 +194,19 @@ def _load_chunk(dataset, chunk, budgets, im_budget=None) -> Batch:
 _WORKER_STATE: dict = {}
 
 
-def _pool_init(dataset, budgets, seed_base: int, im_budget=None):
+def _pool_init(dataset, budgets, seed_base: int):
     import os
     _WORKER_STATE["dataset"] = dataset
     _WORKER_STATE["budgets"] = budgets
-    _WORKER_STATE["im_budget"] = im_budget
     # decorrelate per-worker augmentation randomness (flip/dup-rel sampling)
     rng_attr = getattr(dataset, "rng", None)
     if rng_attr is not None:
         dataset.rng = np.random.RandomState(seed_base + os.getpid() % 100003)
 
 
-def _pool_load(chunk) -> Batch:
+def _pool_load(chunk, im_budget=None) -> Batch:
     return _load_chunk(_WORKER_STATE["dataset"], chunk,
-                       _WORKER_STATE["budgets"],
-                       _WORKER_STATE.get("im_budget"))
+                       _WORKER_STATE["budgets"], im_budget)
 
 
 class Loader:
@@ -232,12 +230,21 @@ class Loader:
                  seed: int = 0, prefetch: int = 2, num_workers: int = 1,
                  process_index: int | None = None,
                  process_count: int | None = None,
-                 im_budget: tuple[int, int] | None = None):
+                 im_budget: tuple[int, int] | None = None,
+                 im_buckets=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.budgets = budgets or C.PadBudgets()
         self.im_budget = im_budget
+        # aspect buckets: list of (pad_h, pad_w); each image is collated
+        # into the smallest-area bucket covering its post-resize shape and
+        # batches are shape-uniform (one compiled program per bucket).
+        # Requires dataset.image_sizes() -> [N, 2] original (h, w).
+        self.im_buckets = ([tuple(b) for b in im_buckets]
+                           if im_buckets else None)
+        if self.im_buckets and im_budget is not None:
+            raise ValueError("im_budget and im_buckets are exclusive")
         self.drop_last = drop_last
         self.rng = np.random.RandomState(seed)
         self.prefetch = max(prefetch, 1)
@@ -291,6 +298,16 @@ class Loader:
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _pad_chunk(self, chunk: np.ndarray) -> np.ndarray:
+        """Pad a partial final chunk (drop_last=False) to batch_size by
+        repeating its last index: shapes stay static (no jit retrace, equal
+        multi-host shards). Consumers dedupe by image id — eval loops skip
+        an id they have already evaluated, so the repeats are inert."""
+        if len(chunk) == self.batch_size:
+            return chunk
+        pad = np.full(self.batch_size - len(chunk), chunk[-1], chunk.dtype)
+        return np.concatenate([chunk, pad])
+
     def _chunks(self):
         """Global order -> this host's slice of each global batch
         (replaces Blob.scatter + image_offset, dataloaders/blob.py:148-180:
@@ -303,13 +320,64 @@ class Loader:
         lo = self.process_index * per_host
         for s in range(0, len(idx) - (self.batch_size - 1 if self.drop_last else 0),
                        self.batch_size):
-            chunk = idx[s:s + self.batch_size]
+            chunk = self._pad_chunk(idx[s:s + self.batch_size])
             yield chunk[lo:lo + per_host]
 
+    def _resized_hw(self):
+        """Per-image post-resize (h', w') from dataset.image_sizes()
+        (original (h, w) per image) — same rounding as square_pad_resize."""
+        if not hasattr(self.dataset, "image_sizes"):
+            raise ValueError(
+                "im_buckets needs dataset.image_sizes() -> [N, 2] original "
+                "(h, w); use a fixed im_budget for datasets without it")
+        sizes = np.asarray(self.dataset.image_sizes())
+        long_side = sizes.max(axis=1).clip(min=1)
+        scale = C.IM_SCALE / long_side
+        hw = np.maximum(1, np.round(sizes * scale[:, None])).astype(np.int64)
+        hw[sizes[:, 0] >= sizes[:, 1], 0] = C.IM_SCALE
+        hw[sizes[:, 1] >= sizes[:, 0], 1] = C.IM_SCALE
+        return hw
+
+    def _bucket_of(self, hw: np.ndarray) -> np.ndarray:
+        """Index of the smallest-area bucket that fits each (h', w')."""
+        buckets = np.asarray(self.im_buckets)                     # [K, 2]
+        order = np.argsort(buckets[:, 0] * buckets[:, 1], kind="stable")
+        fits = ((hw[:, None, 0] <= buckets[None, order, 0])
+                & (hw[:, None, 1] <= buckets[None, order, 1]))    # [N, K]
+        first = fits.argmax(axis=1)
+        if not fits.any(axis=1).all():
+            bad = int(np.nonzero(~fits.any(axis=1))[0][0])
+            raise ValueError(
+                f"image {bad} resizes to {tuple(hw[bad])} but no bucket in "
+                f"{self.im_buckets} covers it")
+        return order[first]
+
+    def _chunks_with_budget(self):
+        """(host-chunk, im_budget) pairs. Without buckets this is
+        _chunks() x the fixed budget; with buckets, the (shuffled) epoch
+        order is partitioned per bucket so every batch is shape-uniform
+        (one compiled program per bucket)."""
+        if self.im_buckets is None:
+            for chunk in self._chunks():
+                yield chunk, self.im_budget
+            return
+        hw = self._resized_hw()
+        bucket_idx = self._bucket_of(hw)
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        per_host = self.batch_size // self.process_count
+        lo = self.process_index * per_host
+        for k in range(len(self.im_buckets)):
+            sel = idx[bucket_idx[idx] == k]
+            end = len(sel) - (self.batch_size - 1 if self.drop_last else 0)
+            for s in range(0, max(end, 0), self.batch_size):
+                chunk = self._pad_chunk(sel[s:s + self.batch_size])
+                yield chunk[lo:lo + per_host], tuple(self.im_buckets[k])
+
     def _batches(self):
-        for chunk in self._chunks():
-            yield _load_chunk(self.dataset, chunk, self.budgets,
-                              self.im_budget)
+        for chunk, im_budget in self._chunks_with_budget():
+            yield _load_chunk(self.dataset, chunk, self.budgets, im_budget)
 
     def __iter__(self):
         """Prefetched iteration: decode + collate overlap the device step.
@@ -334,11 +402,14 @@ class Loader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        err: list = []
 
         def producer():
             try:
                 for b in self._batches():
                     q.put(b)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                err.append(e)
             finally:
                 q.put(sentinel)
 
@@ -347,6 +418,11 @@ class Loader:
         while True:
             item = q.get()
             if item is sentinel:
+                if err:
+                    # surface loader failures instead of silently ending
+                    # the epoch early (a swallowed decode/collate error
+                    # would truncate eval coverage without a trace)
+                    raise err[0]
                 break
             yield item
 
@@ -361,11 +437,10 @@ class Loader:
         with ProcessPoolExecutor(
                 max_workers=self.num_workers, initializer=_pool_init,
                 initargs=(self.dataset, self.budgets,
-                          int(self.rng.randint(1 << 30)),
-                          self.im_budget)) as pool:
+                          int(self.rng.randint(1 << 30)))) as pool:
             pending: collections.deque = collections.deque()
-            for chunk in self._chunks():
-                pending.append(pool.submit(_pool_load, chunk))
+            for chunk, im_budget in self._chunks_with_budget():
+                pending.append(pool.submit(_pool_load, chunk, im_budget))
                 if len(pending) >= window:
                     yield pending.popleft().result()
             while pending:
@@ -375,4 +450,5 @@ class Loader:
     def splits(cls, train_data, val_data, batch_size: int,
                budgets: C.PadBudgets | None = None, **kw):
         return (cls(train_data, batch_size, shuffle=True, budgets=budgets, **kw),
-                cls(val_data, batch_size, shuffle=False, budgets=budgets, **kw))
+                cls(val_data, batch_size, shuffle=False, budgets=budgets,
+                    drop_last=False, **kw))

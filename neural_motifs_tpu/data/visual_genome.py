@@ -265,6 +265,31 @@ class VG:
             entry["proposals"] = self.rpn_rois[index]
         return entry
 
+    def image_sizes(self) -> np.ndarray:
+        """[N, 2] original (h, w) per image, for aspect-bucketed serving
+        (Loader im_buckets). Header-only parse (native libjpeg or PIL's
+        lazy open) — no pixel decode; scanned once and cached."""
+        if getattr(self, "_image_sizes", None) is None:
+            from neural_motifs_tpu.runtime import jpeg_header
+
+            sizes = np.zeros((len(self.filenames), 2), np.int64)
+            for i, fn in enumerate(self.filenames):
+                hdr = None
+                try:
+                    with open(fn, "rb") as f:
+                        hdr = jpeg_header(f.read(65536))
+                except OSError:
+                    pass
+                if hdr is not None:
+                    sizes[i] = (hdr[1], hdr[0])
+                else:
+                    from PIL import Image
+
+                    with Image.open(fn) as im:
+                        sizes[i] = (im.size[1], im.size[0])
+            self._image_sizes = sizes
+        return self._image_sizes
+
     def coco_annotations(self):
         """Faux-COCO dict for detector mAP (visual_genome.py:102-127)."""
         from neural_motifs_tpu.data.adapters import faux_coco_annotations

@@ -25,6 +25,15 @@ from neural_motifs_tpu.evaluation.sg_eval import BasicSceneGraphEvaluator
 from neural_motifs_tpu.models.frequency import box_filter, get_counts
 
 
+
+def _loader_im_kw(cfg):
+    """-im_budget flag -> Loader kwargs: "auto" = aspect buckets, HxW =
+    fixed rect budget, None = square IM_SCALE."""
+    if cfg.im_budget == "auto":
+        from neural_motifs_tpu import config as _C
+        return {"im_buckets": _C.DEFAULT_IM_BUCKETS}
+    return {"im_budget": cfg.im_budget}
+
 def freq_prob_matrix(train_data, must_overlap: bool = False,
                      save_path: Optional[str] = "pred_stats.npy") -> np.ndarray:
     """[NC, NC, NP] P(pred | s, o): bg+1 in column 0, normalized, saved,
@@ -154,7 +163,7 @@ def make_classifier_det_fn(eval_data, cfg, train_data):
                            budgets=cfg.budgets)
     loader = Loader(eval_data, cfg.batch_size, shuffle=False,
                     budgets=cfg.budgets, num_workers=cfg.num_workers,
-                    im_budget=cfg.im_budget)
+                    drop_last=False, **_loader_im_kw(cfg))
     kwargs = lambda b: dict(images=b.images, im_hw=b.im_hw,
                             gt_boxes=b.gt_boxes, gt_classes=b.gt_classes,
                             gt_mask=b.gt_mask)
@@ -202,7 +211,7 @@ def make_detector_det_fn(eval_data, cfg, train_data):
                            budgets=cfg.budgets)
     loader = Loader(eval_data, cfg.batch_size, shuffle=False,
                     budgets=cfg.budgets, num_workers=cfg.num_workers,
-                    im_budget=cfg.im_budget)
+                    drop_last=False, **_loader_im_kw(cfg))
     kwargs = lambda b: dict(images=b.images, im_hw=b.im_hw,
                             proposals=b.proposals,
                             proposal_mask=b.proposal_mask)

@@ -17,6 +17,15 @@ from neural_motifs_tpu.training import checkpoint as ckpt_lib
 from neural_motifs_tpu.training.train_rels import batch_kwargs, build_model
 
 
+
+def _loader_im_kw(cfg):
+    """-im_budget flag -> Loader kwargs: "auto" = aspect buckets, HxW =
+    fixed rect budget, None = square IM_SCALE."""
+    if cfg.im_budget == "auto":
+        from neural_motifs_tpu import config as _C
+        return {"im_buckets": _C.DEFAULT_IM_BUCKETS}
+    return {"im_budget": cfg.im_budget}
+
 def main(argv=None, datasets=None):
     """datasets: optional (train, val, test) triple built by the caller with
     explicit paths (e.g. tools/parity_runbook.py); default loads VG from the
@@ -40,7 +49,7 @@ def main(argv=None, datasets=None):
     model = build_model(cfg, train)
     loader = Loader(data, cfg.batch_size * cfg.num_devices, shuffle=False,
                     budgets=cfg.budgets, num_workers=cfg.num_workers,
-                    im_budget=cfg.im_budget)
+                    drop_last=False, **_loader_im_kw(cfg))
     example = next(iter(loader))
     variables = model.init({"params": jax.random.PRNGKey(0),
                             "sample": jax.random.PRNGKey(1),
@@ -80,6 +89,7 @@ def main(argv=None, datasets=None):
 
     evaluator = BasicSceneGraphEvaluator(cfg.mode, multiple_preds=cfg.multi_pred)
     all_pred_entries = []
+    seen_ids = set()  # final-batch pad repeats an image id; evaluate once
     from neural_motifs_tpu.utils.observe import PairBudgetTelemetry
     pairs_tel = PairBudgetTelemetry(cfg.budgets.max_pairs_eval)
 
@@ -91,6 +101,9 @@ def main(argv=None, datasets=None):
         pairs_tel.update(pred.num_valid_pairs)
         for i, entry in enumerate(prediction_to_entries(pred)):
             idx = int(batch.image_ids[i])
+            if idx in seen_ids:
+                continue
+            seen_ids.add(idx)
             gt = {"gt_classes": data.gt_classes[idx].copy(),
                   "gt_relations": data.relationships[idx].copy(),
                   "gt_boxes": data.gt_boxes[idx].copy()}

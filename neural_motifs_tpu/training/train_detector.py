@@ -37,6 +37,7 @@ def detection_map(model, state, loader, dataset) -> float:
     eval_fn = jax.jit(lambda p, bs, kw: model.apply(
         {"params": p, "batch_stats": bs}, train=False, **kw))
     results = []
+    seen_ids = set()  # final-batch pad repeats an image id; evaluate once
     for batch in loader:
         out = eval_fn(state.params, state.batch_stats, batch_kwargs(batch))
         boxes_all = jax.device_get(out.boxes_all)
@@ -44,6 +45,9 @@ def detection_map(model, state, loader, dataset) -> float:
         preds = jax.device_get(out.obj_preds)
         valid = jax.device_get(out.rm_valid)
         for i in range(len(batch.image_ids)):
+            if int(batch.image_ids[i]) in seen_ids:
+                continue
+            seen_ids.add(int(batch.image_ids[i]))
             for j in np.where(valid[i])[0]:
                 cls = int(preds[i, j])
                 box = boxes_all[i, j, cls] * C.BOX_SCALE / C.IM_SCALE

@@ -79,6 +79,8 @@ def val_epoch(model, state, val_loader, val_data, cfg, eval_fn, mesh=None):
         params = jax.device_put(params, replicated(mesh))
         batch_stats = jax.device_put(batch_stats, replicated(mesh))
 
+    seen_ids = set()  # final-batch pad repeats an image id; evaluate once
+
     def consume(batch, pred):
         # fetched only after the NEXT batch is dispatched, so the host
         # transfer + evaluator overlap device compute (pipelined eval loop)
@@ -86,6 +88,9 @@ def val_epoch(model, state, val_loader, val_data, cfg, eval_fn, mesh=None):
         pairs_tel.update(pred.num_valid_pairs)
         for i, entry in enumerate(prediction_to_entries(pred)):
             idx = int(batch.image_ids[i])
+            if idx in seen_ids:
+                continue
+            seen_ids.add(idx)
             gt = {"gt_classes": val_data.gt_classes[idx].copy(),
                   "gt_relations": val_data.relationships[idx].copy(),
                   "gt_boxes": val_data.gt_boxes[idx].copy()}

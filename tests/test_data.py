@@ -314,3 +314,92 @@ def test_decode_image_rgb_matches_pil_and_fast_mode(rng, tmp_path, monkeypatch):
     got_png = T.decode_image_rgb(png)
     np.testing.assert_array_equal(got_png,
                                   np.asarray(Image.open(png).convert("RGB")))
+
+
+class _JpegMix:
+    """Tiny mixed-aspect JPEG dataset for bucket tests."""
+
+    def __init__(self, tmpdir, sizes):
+        from PIL import Image
+        self.filenames = []
+        rng = np.random.RandomState(0)
+        for i, (h, w) in enumerate(sizes):
+            fn = f"{tmpdir}/m{i}.jpg"
+            Image.fromarray(rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+                            ).save(fn, quality=85)
+            self.filenames.append(fn)
+        self.gt_boxes = [np.array([[1, 1, 30, 30]], np.float32)] * len(sizes)
+        self.gt_classes = [np.array([1], np.int32)] * len(sizes)
+        self.relationships = [np.zeros((0, 3), np.int32)] * len(sizes)
+
+    def __len__(self):
+        return len(self.filenames)
+
+    def image_sizes(self):
+        from neural_motifs_tpu.runtime import jpeg_header
+        out = np.zeros((len(self.filenames), 2), np.int64)
+        for i, fn in enumerate(self.filenames):
+            with open(fn, "rb") as f:
+                w, h, _ = jpeg_header(f.read(1 << 16))
+            out[i] = (h, w)
+        return out
+
+    def __getitem__(self, i):
+        from neural_motifs_tpu.data.transforms import (decode_image_rgb,
+                                                       square_pad_resize)
+        arr, img_size = square_pad_resize(decode_image_rgb(self.filenames[i]))
+        return {"img": arr, "img_size": img_size,
+                "gt_boxes": self.gt_boxes[i], "gt_classes": self.gt_classes[i],
+                "gt_relations": self.relationships[i],
+                "scale": 1.0, "index": i, "flipped": False}
+
+
+def test_loader_aspect_buckets(tmp_path):
+    """im_buckets: every image lands exactly once, in the smallest bucket
+    covering its post-resize shape; batches are shape-uniform; the partial
+    final batch is padded by repeating the last image id."""
+    from neural_motifs_tpu import config as C
+    from neural_motifs_tpu.data.batching import Loader
+
+    # landscape 4:3 (-> 444x592 -> (448, 592)), portrait (-> (592, 448)),
+    # square (-> (592, 592)); counts 3/2/1 with batch 2 => landscape has a
+    # padded tail batch
+    sizes = [(600, 800), (612, 816), (608, 810), (800, 600), (816, 612),
+             (700, 700)]
+    ds = _JpegMix(str(tmp_path), sizes)
+    loader = Loader(ds, 2, shuffle=False, drop_last=False, num_workers=1,
+                    prefetch=0, process_index=0, process_count=1,
+                    im_buckets=C.DEFAULT_IM_BUCKETS)
+    seen = []
+    shapes = {}
+    for b in loader:
+        assert len(set(b.images.shape[1:3])) >= 1
+        for i, idx in enumerate(b.image_ids):
+            if int(idx) not in seen:
+                seen.append(int(idx))
+                shapes[int(idx)] = b.images.shape[1:3]
+        # uniform shape within batch by construction
+    assert sorted(seen) == list(range(6))
+    assert shapes[0] == (448, 592) and shapes[3] == (592, 448)
+    assert shapes[5] == (592, 592)
+    # images bigger than every bucket raise loudly
+    import pytest
+    small = Loader(ds, 2, shuffle=False, drop_last=False, num_workers=1,
+                   prefetch=0, process_index=0, process_count=1,
+                   im_buckets=[(64, 64)])
+    with pytest.raises(ValueError, match="no bucket"):
+        next(iter(small))
+
+
+def test_loader_tail_padding_covers_all_images(tmp_path):
+    """drop_last=False pads the final chunk by repeating the last index —
+    all images appear, shapes never change (no retrace), repeats carry a
+    duplicate image id the eval loops skip."""
+    from neural_motifs_tpu.data.batching import Loader
+
+    sizes = [(600, 800)] * 5
+    ds = _JpegMix(str(tmp_path), sizes)
+    loader = Loader(ds, 2, shuffle=False, drop_last=False, num_workers=1,
+                    prefetch=0, process_index=0, process_count=1)
+    ids = [list(map(int, b.image_ids)) for b in loader]
+    assert ids == [[0, 1], [2, 3], [4, 4]]

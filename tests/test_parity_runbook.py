@@ -55,6 +55,12 @@ def test_runbook_dry_run(vg_fixture, tmp_path):  # noqa: F811
     env = dict(os.environ)
     env.update(NM_TPU_IM_SCALE="96", JAX_PLATFORMS="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    # JAX_PLATFORMS=cpu alone is NOT enough: with PALLAS_AXON_POOL_IPS set,
+    # sitecustomize registers the axon TPU plugin and overrides
+    # jax_platforms after env processing — the subprocess would then hang
+    # on an unreachable/claimed chip. Dropping the var keeps the dry run
+    # hermetic on CPU.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     cmd = [sys.executable, "-m", "tools.parity_runbook",
            "--vg-h5", str(vg_fixture / "VG-SGG.h5"),
            "--vg-dicts", str(vg_fixture / "dicts.json"),

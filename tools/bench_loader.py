@@ -53,6 +53,18 @@ class JpegDataset:
     def __len__(self):
         return len(self.files)
 
+    def image_sizes(self):
+        import numpy as _np
+
+        from neural_motifs_tpu.runtime import jpeg_header
+
+        sizes = _np.zeros((len(self.files), 2), _np.int64)
+        for i, fn in enumerate(self.files):
+            with open(fn, "rb") as f:
+                w, h, _ = jpeg_header(f.read(65536))
+            sizes[i] = (h, w)
+        return sizes
+
     def __getitem__(self, i):
         from neural_motifs_tpu.data.transforms import decode_image_rgb
 
