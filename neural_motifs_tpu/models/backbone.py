@@ -55,14 +55,16 @@ class VGGRoIHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from neural_motifs_tpu.ops.quant import QuantDense
+
         x = x.reshape(x.shape[:-3] + (-1,)).astype(self.dtype)
-        x = nn.Dense(self.fc_dim, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="fc0")(x)
+        x = QuantDense(self.fc_dim, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="fc0")(x, train=train)
         x = nn.relu(x)
         if self.use_dropout:
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = nn.Dense(self.fc_dim, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="fc1")(x)
+        x = QuantDense(self.fc_dim, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="fc1")(x, train=train)
         x = nn.relu(x)
         if self.use_dropout:
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)

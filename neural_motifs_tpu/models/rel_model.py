@@ -53,17 +53,19 @@ class UnionVGGHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from neural_motifs_tpu.ops.quant import QuantDense
+
         x = x.reshape(x.shape[:-3] + (-1,)).astype(self.dtype)
-        x = nn.Dense(self.fc_dim, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="fc0")(x)
+        x = QuantDense(self.fc_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="fc0")(x, train=train)
         x = nn.relu(x)
         x = nn.Dropout(0.5, deterministic=not train)(x)
         if self.pooling_dim == self.fc_dim:
-            x = nn.Dense(self.fc_dim, dtype=self.dtype,
-                         param_dtype=jnp.float32, name="fc1")(x)
+            x = QuantDense(self.fc_dim, dtype=self.dtype,
+                           param_dtype=jnp.float32, name="fc1")(x, train=train)
         else:
-            x = nn.Dense(self.pooling_dim, dtype=self.dtype,
-                         param_dtype=jnp.float32, name="proj")(x)
+            x = QuantDense(self.pooling_dim, dtype=self.dtype,
+                           param_dtype=jnp.float32, name="proj")(x, train=train)
         return x
 
 
