@@ -106,7 +106,7 @@ int64_t nm_greedy_nms(const float* boxes, const int64_t* order, int64_t n,
 // rounding between them — so the output is byte-identical to PIL while the
 // tighter loops (and a vectorizable vertical pass) run several times faster.
 // Verified bit-exact against the installed Pillow in
-// tests/test_runtime.py::test_resize_matches_pil.
+// tests/test_data.py::test_native_resize_bitexact_vs_pil.
 
 static const int kPrecisionBits = 32 - 8 - 2;  // Pillow's PRECISION_BITS
 

@@ -183,9 +183,18 @@ def device_prefetch(loader, prepare, depth: int = 2):
 
 def _load_chunk(dataset, chunk, budgets, im_budget=None) -> Batch:
     """Decode + collate one batch worth of entries (runs in a worker
-    process when num_workers > 1)."""
-    return collate([dataset[int(i)] for i in chunk], budgets,
-                   im_budget=im_budget)
+    process when num_workers > 1). Negative indices (-(i+1)) are pad
+    repeats from Loader._pad_chunk: the real entry is loaded (shapes must
+    stay uniform) but its image_id is stamped -1 so consumers skip it."""
+    chunk = np.asarray(chunk)
+    real = np.where(chunk >= 0, chunk, -chunk - 1)
+    batch = collate([dataset[int(i)] for i in real], budgets,
+                    im_budget=im_budget)
+    if (chunk < 0).any():
+        batch.image_ids[chunk < 0] = -1
+        if batch.truncation is not None:   # don't double-count telemetry
+            batch.truncation[chunk < 0] = 0
+    return batch
 
 
 # Worker-process state: the dataset/budgets are shipped ONCE per worker via
@@ -296,16 +305,25 @@ class Loader:
 
     def __len__(self):
         n = len(self.dataset)
+        if self.im_buckets is not None:
+            counts = np.bincount(self._bucket_of(self._resized_hw()),
+                                 minlength=len(self.im_buckets))
+            if self.drop_last:
+                return int(sum(c // self.batch_size for c in counts))
+            return int(sum(-(-c // self.batch_size) for c in counts if c))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _pad_chunk(self, chunk: np.ndarray) -> np.ndarray:
         """Pad a partial final chunk (drop_last=False) to batch_size by
         repeating its last index: shapes stay static (no jit retrace, equal
-        multi-host shards). Consumers dedupe by image id — eval loops skip
-        an id they have already evaluated, so the repeats are inert."""
+        multi-host shards). Pad entries are NEGATIVE-encoded (-(i+1)) so
+        _load_chunk can stamp image_id = -1 on them — consumers skip
+        negative ids, which stays correct even when a multi-host slice
+        lands a pad copy on a host that never saw the real image."""
         if len(chunk) == self.batch_size:
             return chunk
-        pad = np.full(self.batch_size - len(chunk), chunk[-1], chunk.dtype)
+        pad = np.full(self.batch_size - len(chunk), -(int(chunk[-1]) + 1),
+                      chunk.dtype)
         return np.concatenate([chunk, pad])
 
     def _chunks(self):
@@ -330,7 +348,14 @@ class Loader:
             raise ValueError(
                 "im_buckets needs dataset.image_sizes() -> [N, 2] original "
                 "(h, w); use a fixed im_budget for datasets without it")
+        from neural_motifs_tpu.data.transforms import decoded_dims
+
         sizes = np.asarray(self.dataset.image_sizes())
+        # NM_FAST_DECODE rescales via ceil'd libjpeg dims; predict from the
+        # dims the decoder will actually produce or a 1px drift can push an
+        # image past its predicted bucket and abort the eval in collate
+        sizes = np.array([decoded_dims(int(h), int(w)) for h, w in sizes],
+                         np.int64)
         long_side = sizes.max(axis=1).clip(min=1)
         scale = C.IM_SCALE / long_side
         hw = np.maximum(1, np.round(sizes * scale[:, None])).astype(np.int64)
@@ -452,3 +477,13 @@ class Loader:
         return (cls(train_data, batch_size, shuffle=True, budgets=budgets, **kw),
                 cls(val_data, batch_size, shuffle=False, budgets=budgets,
                     drop_last=False, **kw))
+
+
+def loader_im_kw(cfg) -> dict:
+    """-im_budget flag -> Loader kwargs: "auto" = aspect buckets (the
+    smallest of config.DEFAULT_IM_BUCKETS per image), HxW tuple = fixed
+    rect budget, None = square IM_SCALE. Shared by every eval entry
+    point."""
+    if cfg.im_budget == "auto":
+        return {"im_buckets": C.DEFAULT_IM_BUCKETS}
+    return {"im_budget": cfg.im_budget}

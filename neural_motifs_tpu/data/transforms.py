@@ -52,22 +52,53 @@ def _native_decode_ok() -> bool:
     return _NATIVE_DECODE_STATE
 
 
-def decode_image_rgb(path: str) -> np.ndarray:
+def fast_decode_enabled() -> bool:
+    """NM_FAST_DECODE flag with the repo's env-flag convention:
+    unset/''/'0'/'false' = off."""
+    import os
+
+    return os.environ.get("NM_FAST_DECODE", "").lower() not in ("", "0",
+                                                                "false")
+
+
+def fast_decode_scale(long_side: int) -> int:
+    """libjpeg scale numerator M (of /8) for a full-res long side: the
+    smallest M in {2, 3, 4} whose ceil-scaled long side still covers
+    IM_SCALE, else 8 (full decode). M <= 4 only: libjpeg-turbo
+    SIMD-optimizes the power-of-two IDCTs; 5/8..7/8 measured SLOWER than
+    a full decode."""
+    for m in (2, 3, 4):
+        if -(-long_side * m // 8) >= IM_SCALE:
+            return m
+    return 8
+
+
+def decoded_dims(h: int, w: int) -> tuple[int, int]:
+    """(h, w) decode_image_rgb(allow_fast=True) would yield for an image
+    whose full-resolution dims are (h, w) under the CURRENT env — used by
+    the Loader's aspect-bucket assignment so predicted and actual collate
+    shapes always agree (a 1px ceil drift here would abort an eval)."""
+    if fast_decode_enabled() and _native_decode_ok():
+        m = fast_decode_scale(max(h, w))
+        if m < 8:
+            return -(-h * m // 8), -(-w * m // 8)
+    return h, w
+
+
+def decode_image_rgb(path: str, allow_fast: bool = True) -> np.ndarray:
     """Image file -> [h, w, 3] uint8 RGB.
 
     Default: native libjpeg decode (csrc), verified byte-identical to PIL
     by the one-time self-check, with a PIL fallback for anything the
     native path rejects (non-JPEG, CMYK, truncated streams).
 
-    NM_FAST_DECODE=1 (serving opt-in, never the parity path): images whose
-    long side is large enough decode at M/8 scale via libjpeg's scaled
-    IDCT — cheaper than full decode + downsample. Only scales M <= 4 are
-    used (libjpeg-turbo SIMD-optimizes the power-of-two IDCTs; 5/8..7/8
-    measured SLOWER than full decode) and only when the scaled long side
-    still covers IM_SCALE, so the later resize never upscales.
+    NM_FAST_DECODE=1 (serving opt-in, never the parity path) decodes large
+    images at M/8 scale via libjpeg's scaled IDCT — cheaper than full
+    decode + downsample, but not pixel-identical. `allow_fast=False`
+    ignores the flag: the TRAINING path always decodes exactly, because
+    the GT clamp/flip math derives from the decoded dims and ceil-scaled
+    dims would drift box coordinates by ~1px at BOX_SCALE.
     """
-    import os
-
     if _native_decode_ok():
         from neural_motifs_tpu.runtime import decode_jpeg_scaled, jpeg_header
 
@@ -78,15 +109,12 @@ def decode_image_rgb(path: str) -> np.ndarray:
             data = None
         if data is not None:
             scale_num = 8
-            if os.environ.get("NM_FAST_DECODE"):
+            hdr = None
+            if allow_fast and fast_decode_enabled():
                 hdr = jpeg_header(data)
                 if hdr is not None and hdr[2]:
-                    long_side = max(hdr[0], hdr[1])
-                    for m in (2, 3, 4):
-                        if -(-long_side * m // 8) >= IM_SCALE:
-                            scale_num = m
-                            break
-            arr = decode_jpeg_scaled(data, scale_num)
+                    scale_num = fast_decode_scale(max(hdr[0], hdr[1]))
+            arr = decode_jpeg_scaled(data, scale_num, hdr=hdr)
             if arr is not None:
                 return arr
     from PIL import Image

@@ -222,8 +222,12 @@ class VG:
 
     def __getitem__(self, index: int) -> dict:
         # native decode (csrc libjpeg path; byte-identical to PIL per the
-        # one-time self-check in transforms._native_decode_ok)
-        img = decode_image_rgb(self.filenames[index])
+        # one-time self-check in transforms._native_decode_ok). The lossy
+        # NM_FAST_DECODE scaled path is eval-only: training GT clamp/flip
+        # math derives from the decoded dims, so training always decodes
+        # exactly.
+        img = decode_image_rgb(self.filenames[index],
+                               allow_fast=not self.is_train)
         gt_boxes = self.gt_boxes[index].copy()
         flipped = self.is_train and self.rng.random_sample() > 0.5
 

@@ -189,15 +189,17 @@ def jpeg_header(data: bytes):
     return w.value, h.value, bool(ok.value)
 
 
-def decode_jpeg_scaled(data: bytes, scale_num: int):
+def decode_jpeg_scaled(data: bytes, scale_num: int, hdr=None):
     """Decode JPEG bytes to RGB uint8 at scale_num/8 of full resolution
     using libjpeg's scaled IDCT (serving fast path; see csrc). Returns the
     [h, w, 3] array or None on failure/unavailability. scale_num=8 is a
-    full-resolution decode."""
+    full-resolution decode. Pass a jpeg_header() result as `hdr` to skip
+    the sizing re-parse (the hot loader path already has one)."""
     lib = load_library()
     if lib is None or not hasattr(lib, "nm_decode_jpeg_scaled"):
         return None
-    hdr = jpeg_header(data)
+    if hdr is None:
+        hdr = jpeg_header(data)
     if hdr is None or not hdr[2]:
         return None
     fw, fh, _ = hdr

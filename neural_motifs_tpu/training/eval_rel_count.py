@@ -26,14 +26,6 @@ from neural_motifs_tpu.models.frequency import box_filter, get_counts
 
 
 
-def _loader_im_kw(cfg):
-    """-im_budget flag -> Loader kwargs: "auto" = aspect buckets, HxW =
-    fixed rect budget, None = square IM_SCALE."""
-    if cfg.im_budget == "auto":
-        from neural_motifs_tpu import config as _C
-        return {"im_buckets": _C.DEFAULT_IM_BUCKETS}
-    return {"im_budget": cfg.im_budget}
-
 def freq_prob_matrix(train_data, must_overlap: bool = False,
                      save_path: Optional[str] = "pred_stats.npy") -> np.ndarray:
     """[NC, NC, NP] P(pred | s, o): bg+1 in column 0, normalized, saved,
@@ -154,7 +146,7 @@ def make_classifier_det_fn(eval_data, cfg, train_data):
     import jax
     import jax.numpy as jnp
 
-    from neural_motifs_tpu.data.batching import Loader
+    from neural_motifs_tpu.data.batching import Loader, loader_im_kw
     from neural_motifs_tpu.models.detector import ObjectDetector
     from neural_motifs_tpu.training import checkpoint as ckpt_lib
 
@@ -163,7 +155,7 @@ def make_classifier_det_fn(eval_data, cfg, train_data):
                            budgets=cfg.budgets)
     loader = Loader(eval_data, cfg.batch_size, shuffle=False,
                     budgets=cfg.budgets, num_workers=cfg.num_workers,
-                    drop_last=False, **_loader_im_kw(cfg))
+                    drop_last=False, **loader_im_kw(cfg))
     kwargs = lambda b: dict(images=b.images, im_hw=b.im_hw,
                             gt_boxes=b.gt_boxes, gt_classes=b.gt_classes,
                             gt_mask=b.gt_mask)
@@ -186,6 +178,8 @@ def make_classifier_det_fn(eval_data, cfg, train_data):
         dists = np.asarray(out.rm_obj_dists)
         valid = np.asarray(out.rm_valid)
         for k in range(len(batch.image_ids)):
+            if int(batch.image_ids[k]) < 0:   # -1 = tail-pad repeat
+                continue
             nv = valid[k]
             logits = dists[k][nv][:, 1:]
             results[int(batch.image_ids[k])] = (
@@ -201,7 +195,8 @@ def make_detector_det_fn(eval_data, cfg, train_data):
     import jax
     import jax.numpy as jnp
 
-    from neural_motifs_tpu.data.batching import Loader
+    from neural_motifs_tpu.data.batching import (Loader,
+                                                 loader_im_kw)
     from neural_motifs_tpu.models.detector import ObjectDetector
     from neural_motifs_tpu.training import checkpoint as ckpt_lib
 
@@ -211,7 +206,7 @@ def make_detector_det_fn(eval_data, cfg, train_data):
                            budgets=cfg.budgets)
     loader = Loader(eval_data, cfg.batch_size, shuffle=False,
                     budgets=cfg.budgets, num_workers=cfg.num_workers,
-                    drop_last=False, **_loader_im_kw(cfg))
+                    drop_last=False, **loader_im_kw(cfg))
     kwargs = lambda b: dict(images=b.images, im_hw=b.im_hw,
                             proposals=b.proposals,
                             proposal_mask=b.proposal_mask)
@@ -237,6 +232,8 @@ def make_detector_det_fn(eval_data, cfg, train_data):
         scores = np.asarray(out.obj_scores)
         valid = np.asarray(out.rm_valid)
         for k in range(len(batch.image_ids)):
+            if int(batch.image_ids[k]) < 0:   # -1 = tail-pad repeat
+                continue
             nv = valid[k]
             cls = preds[k][nv]
             bx = boxes_all[k][nv][np.arange(nv.sum()), cls]

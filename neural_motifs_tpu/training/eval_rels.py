@@ -10,21 +10,13 @@ import jax
 import jax.numpy as jnp
 
 from neural_motifs_tpu import config as C
-from neural_motifs_tpu.data.batching import Loader
+from neural_motifs_tpu.data.batching import Loader, loader_im_kw
 from neural_motifs_tpu.evaluation.sg_eval import BasicSceneGraphEvaluator
 from neural_motifs_tpu.models.rel_model import prediction_to_entries
 from neural_motifs_tpu.training import checkpoint as ckpt_lib
 from neural_motifs_tpu.training.train_rels import batch_kwargs, build_model
 
 
-
-def _loader_im_kw(cfg):
-    """-im_budget flag -> Loader kwargs: "auto" = aspect buckets, HxW =
-    fixed rect budget, None = square IM_SCALE."""
-    if cfg.im_budget == "auto":
-        from neural_motifs_tpu import config as _C
-        return {"im_buckets": _C.DEFAULT_IM_BUCKETS}
-    return {"im_budget": cfg.im_budget}
 
 def main(argv=None, datasets=None):
     """datasets: optional (train, val, test) triple built by the caller with
@@ -49,7 +41,7 @@ def main(argv=None, datasets=None):
     model = build_model(cfg, train)
     loader = Loader(data, cfg.batch_size * cfg.num_devices, shuffle=False,
                     budgets=cfg.budgets, num_workers=cfg.num_workers,
-                    drop_last=False, **_loader_im_kw(cfg))
+                    drop_last=False, **loader_im_kw(cfg))
     example = next(iter(loader))
     variables = model.init({"params": jax.random.PRNGKey(0),
                             "sample": jax.random.PRNGKey(1),
@@ -101,7 +93,7 @@ def main(argv=None, datasets=None):
         pairs_tel.update(pred.num_valid_pairs)
         for i, entry in enumerate(prediction_to_entries(pred)):
             idx = int(batch.image_ids[i])
-            if idx in seen_ids:
+            if idx < 0 or idx in seen_ids:   # -1 = tail-pad repeat
                 continue
             seen_ids.add(idx)
             gt = {"gt_classes": data.gt_classes[idx].copy(),

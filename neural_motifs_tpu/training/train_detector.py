@@ -45,7 +45,8 @@ def detection_map(model, state, loader, dataset) -> float:
         preds = jax.device_get(out.obj_preds)
         valid = jax.device_get(out.rm_valid)
         for i in range(len(batch.image_ids)):
-            if int(batch.image_ids[i]) in seen_ids:
+            if int(batch.image_ids[i]) < 0 \
+                    or int(batch.image_ids[i]) in seen_ids:
                 continue
             seen_ids.add(int(batch.image_ids[i]))
             for j in np.where(valid[i])[0]:

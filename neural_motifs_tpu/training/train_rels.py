@@ -88,7 +88,7 @@ def val_epoch(model, state, val_loader, val_data, cfg, eval_fn, mesh=None):
         pairs_tel.update(pred.num_valid_pairs)
         for i, entry in enumerate(prediction_to_entries(pred)):
             idx = int(batch.image_ids[i])
-            if idx in seen_ids:
+            if idx < 0 or idx in seen_ids:   # -1 = tail-pad repeat
                 continue
             seen_ids.add(idx)
             gt = {"gt_classes": val_data.gt_classes[idx].copy(),

@@ -336,12 +336,17 @@ class _JpegMix:
         return len(self.filenames)
 
     def image_sizes(self):
+        from PIL import Image
         from neural_motifs_tpu.runtime import jpeg_header
         out = np.zeros((len(self.filenames), 2), np.int64)
         for i, fn in enumerate(self.filenames):
             with open(fn, "rb") as f:
-                w, h, _ = jpeg_header(f.read(1 << 16))
-            out[i] = (h, w)
+                hdr = jpeg_header(f.read(1 << 16))
+            if hdr is not None:
+                out[i] = (hdr[1], hdr[0])
+            else:
+                with Image.open(fn) as im:
+                    out[i] = (im.size[1], im.size[0])
         return out
 
     def __getitem__(self, i):
@@ -375,7 +380,7 @@ def test_loader_aspect_buckets(tmp_path):
     for b in loader:
         assert len(set(b.images.shape[1:3])) >= 1
         for i, idx in enumerate(b.image_ids):
-            if int(idx) not in seen:
+            if int(idx) >= 0 and int(idx) not in seen:  # -1 = tail pad
                 seen.append(int(idx))
                 shapes[int(idx)] = b.images.shape[1:3]
         # uniform shape within batch by construction
@@ -393,8 +398,8 @@ def test_loader_aspect_buckets(tmp_path):
 
 def test_loader_tail_padding_covers_all_images(tmp_path):
     """drop_last=False pads the final chunk by repeating the last index —
-    all images appear, shapes never change (no retrace), repeats carry a
-    duplicate image id the eval loops skip."""
+    all images appear, shapes never change (no retrace), pad entries carry
+    image id -1 so every host/consumer can skip them."""
     from neural_motifs_tpu.data.batching import Loader
 
     sizes = [(600, 800)] * 5
@@ -402,4 +407,4 @@ def test_loader_tail_padding_covers_all_images(tmp_path):
     loader = Loader(ds, 2, shuffle=False, drop_last=False, num_workers=1,
                     prefetch=0, process_index=0, process_count=1)
     ids = [list(map(int, b.image_ids)) for b in loader]
-    assert ids == [[0, 1], [2, 3], [4, 4]]
+    assert ids == [[0, 1], [2, 3], [4, -1]]

@@ -55,14 +55,19 @@ class JpegDataset:
 
     def image_sizes(self):
         import numpy as _np
+        from PIL import Image
 
         from neural_motifs_tpu.runtime import jpeg_header
 
         sizes = _np.zeros((len(self.files), 2), _np.int64)
         for i, fn in enumerate(self.files):
             with open(fn, "rb") as f:
-                w, h, _ = jpeg_header(f.read(65536))
-            sizes[i] = (h, w)
+                hdr = jpeg_header(f.read(65536))
+            if hdr is not None:
+                sizes[i] = (hdr[1], hdr[0])
+            else:  # native runtime unavailable or SOF beyond the prefix
+                with Image.open(fn) as im:
+                    sizes[i] = (im.size[1], im.size[0])
         return sizes
 
     def __getitem__(self, i):
