@@ -21,7 +21,10 @@ import numpy as np
 TITAN_X_SGDET_IMG_S = 2.0  # documented estimate, see module docstring
 
 
-def main():
+def build_bench_state(batch=None):
+    """Bench-config model + inputs + initialized params, shared with the
+    A/B tools (tools/bench_quant.py). Returns
+    (model, params, batch_stats, images_np [B,H,W,3] f32, im_hw_np)."""
     import jax
 
     # persistent compile cache: repeat runs of the same config skip the
@@ -38,8 +41,8 @@ def main():
     # runtime overhead amortizes with batch, but b48 pays a ~15min compile
     # for +2.5%, so b32 is the recorded config) so the tracked BENCH
     # artifact reflects real capability
-    batch = int(__import__("os").environ.get("NM_BENCH_BATCH", "32"))
-    iters = int(__import__("os").environ.get("NM_BENCH_ITERS", "10"))
+    if batch is None:
+        batch = int(__import__("os").environ.get("NM_BENCH_BATCH", "32"))
 
     budgets = C.PadBudgets()
     rng = np.random.RandomState(0)
@@ -91,6 +94,15 @@ def main():
 
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    return model, params, batch_stats, images, im_hw
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    iters = int(__import__("os").environ.get("NM_BENCH_ITERS", "10"))
+    model, params, batch_stats, images, im_hw = build_bench_state()
 
     @jax.jit
     def forward(params, batch_stats, images, im_hw):
@@ -149,7 +161,7 @@ def main():
     med = sorted(per_iter)[len(per_iter) // 2]
     print(f"# per-iter times ({'sync' if sync else 'pipelined'}): "
           f"{[round(t, 4) for t in per_iter]}", flush=True)
-    img_s = batch / med
+    img_s = images.shape[0] / med
 
     print(json.dumps({
         "metric": "sgdet_inference_imgs_per_sec_per_chip",
