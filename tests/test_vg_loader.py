@@ -217,3 +217,35 @@ def test_misaligned_image_dir_fails_loudly(vg_fixture):
         from PIL import Image
         Image.new("RGB", (IMG_W, IMG_H), (120, 90, 60)).save(
             str(vg_fixture / "imgs" / "10003.jpg"))
+
+
+def test_flip_pixels_match_pil_oracle(vg_fixture, monkeypatch):
+    """The numpy flip + native decode/resize path must reproduce the
+    PIL-composed reference pipeline byte-for-byte:
+    Image.open -> FLIP_LEFT_RIGHT -> BILINEAR resize."""
+    from PIL import Image
+
+    from neural_motifs_tpu import config as C
+    from neural_motifs_tpu.data.transforms import (decode_image_rgb,
+                                                   square_pad_resize)
+    train = _vg(vg_fixture, "train", seed=0)
+    # force the flip branch deterministically
+    class _AlwaysFlip:
+        def random_sample(self):
+            return 1.0
+        def choice(self, x):
+            return x[0]
+    train.rng = _AlwaysFlip()
+    entry = train[0]
+    assert entry["flipped"]
+
+    pil = Image.open(train.filenames[0]).convert("RGB")
+    pil = pil.transpose(Image.FLIP_LEFT_RIGHT)
+    w, h = pil.size
+    scale = C.IM_SCALE / max(w, h)
+    if h > w:
+        size = (max(1, round(w * scale)), C.IM_SCALE)
+    else:
+        size = (C.IM_SCALE, max(1, round(h * scale)))
+    exp = np.asarray(pil.resize(size, Image.BILINEAR), np.uint8)
+    np.testing.assert_array_equal(entry["img"], exp)
