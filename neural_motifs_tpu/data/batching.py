@@ -388,6 +388,13 @@ class Loader:
             return
         hw = self._resized_hw()
         bucket_idx = self._bucket_of(hw)
+        if not getattr(self, "_buckets_logged", False):
+            self._buckets_logged = True
+            counts = np.bincount(bucket_idx, minlength=len(self.im_buckets))
+            dist = ", ".join(f"{tuple(b)}: {int(c)}"
+                             for b, c in zip(self.im_buckets, counts))
+            print(f"[Loader] aspect buckets ({len(self.dataset)} images): "
+                  f"{dist}", flush=True)
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(idx)
