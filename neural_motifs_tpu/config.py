@@ -106,15 +106,19 @@ class PadBudgets:
     objs_per_img: int = 64       # post-NMS objects per image (max_per_img=64)
     rels_per_img: int = RELS_PER_IMG       # sampled rel pairs (gtbox modes)
     rels_per_img_refine: int = RELS_PER_IMG_REFINE  # sampled rel pairs (sgdet)
-    max_pairs_eval: int = 1024   # eval pair-compaction budget (serving mode,
-                                 # default ON: all 64*63=4032 padded pairs
-                                 # collapse to the top-1024 by object-score
-                                 # product — exact while valid pairs <= 1024
-                                 # (VG p99 objects ~36 -> <=1260 all-pairs,
-                                 # far less with sgdet overlap gating); the
-                                 # eval entry points report any overflow.
-                                 # Set -max_pairs_eval 4096 for exact mode
-                                 # (the parity runbook does).
+    max_pairs_eval: int = 1024   # eval pair-compaction budget (serving mode):
+                                 # all 64*63=4032 padded pairs collapse to
+                                 # the top-1024 by object-score product —
+                                 # exact while valid pairs <= 1024. sgdet's
+                                 # overlap gating keeps real-VG images far
+                                 # below that; the gtbox modes (predcls/
+                                 # sgcls) score ALL ordered GT pairs, and a
+                                 # VG p99 image (~36 objects) has 1260 >
+                                 # 1024 — so ModelConfig.from_args defaults
+                                 # the CLI to 4096 (exact) for those modes
+                                 # unless -max_pairs_eval is given. The
+                                 # eval entry points report any overflow;
+                                 # the parity runbook always forces 4096.
     rpn_pre_nms_topn_train: int = 6000
     rpn_post_nms_topn_train: int = 2000
     rpn_pre_nms_topn_test: int = 6000
@@ -256,7 +260,7 @@ class ModelConfig:
         p.add_argument("-objs_per_img", dest="objs_per_img", type=int,
                        default=PadBudgets.objs_per_img)
         p.add_argument("-max_pairs_eval", dest="max_pairs_eval", type=int,
-                       default=PadBudgets.max_pairs_eval)
+                       default=None)  # resolved mode-aware in from_args
         p.add_argument("-im_budget", dest="im_budget", type=str, default="",
                        help="HxW rectangular image pad budget for "
                             "aspect-bucketed serving, e.g. 448x592")
@@ -280,6 +284,14 @@ class ModelConfig:
         budget_kw = {k: args.pop(k) for k in
                      ("max_gt_boxes", "max_gt_rels", "objs_per_img",
                       "max_pairs_eval")}
+        if budget_kw["max_pairs_eval"] is None:
+            # sgdet: overlap gating keeps valid pairs well under 1024.
+            # gtbox modes score all ordered GT pairs (a VG p99 image has
+            # ~1260), so the compaction default would silently cap
+            # recall — default exact there.
+            budget_kw["max_pairs_eval"] = (
+                PadBudgets.max_pairs_eval if args.get("mode") == "sgdet"
+                else 4096)
         args["budgets"] = PadBudgets(**budget_kw)
         if args.get("im_budget") == "auto":
             args["im_budget"] = "auto"

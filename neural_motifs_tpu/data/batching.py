@@ -160,25 +160,53 @@ def device_prefetch(loader, prepare, depth: int = 2):
     q: "queue.Queue" = queue.Queue(maxsize=max(depth, 1))
     SENTINEL = object()
     err = []
+    stop = threading.Event()
 
     def worker():
         try:
             for b in loader:
-                q.put((b, prepare(b)))
+                item = (b, prepare(b))
+                # bounded put that notices consumer abandonment: if the
+                # main loop died (jit/evaluator exception) the generator's
+                # finally sets `stop`, and without this poll the worker
+                # would block in q.put forever, pinning `depth` prepared
+                # device batches in HBM for the process lifetime
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # noqa: BLE001 - surface in main thread
             err.append(e)
         finally:
-            q.put(SENTINEL)
+            while True:  # sentinel put must not block either
+                try:
+                    q.put(SENTINEL, timeout=0.5)
+                    break
+                except queue.Full:
+                    if stop.is_set():
+                        break
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()  # unblock + release the worker's queued device buffers
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def _load_chunk(dataset, chunk, budgets, im_budget=None) -> Batch:
@@ -410,6 +438,14 @@ class Loader:
     def _batches(self):
         for chunk, im_budget in self._chunks_with_budget():
             yield _load_chunk(self.dataset, chunk, self.budgets, im_budget)
+
+    def peek(self) -> Batch:
+        """First batch, loaded synchronously — for model init / example
+        shapes. Unlike next(iter(loader)), this spins up NO prefetch
+        thread/pool (an abandoned iterator's producer would decode ahead
+        and then sit on its queued batches for the process lifetime)."""
+        chunk, im_budget = next(self._chunks_with_budget())
+        return _load_chunk(self.dataset, chunk, self.budgets, im_budget)
 
     def __iter__(self):
         """Prefetched iteration: decode + collate overlap the device step.

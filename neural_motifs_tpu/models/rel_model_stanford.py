@@ -114,8 +114,10 @@ class RelModelStanford(nn.Module):
 
     def _rel_pairs(self, det, train: bool, gt):
         """Returns (RelSample, num_valid_pairs) — see RelModel._rel_pairs.
-        Stanford scores every candidate pair (no compaction), so
-        num_valid_pairs is purely informational here."""
+        Applies the same max_pairs_eval top-k compaction as RelModel (the
+        message-passing graph then only spans the kept pairs); exact while
+        num_valid_pairs <= budget, and the eval entry points report any
+        overflow."""
         b, o = det.rm_valid.shape
         if train:
             if self.mode == "sgdet":

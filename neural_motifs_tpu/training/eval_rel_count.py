@@ -159,7 +159,7 @@ def make_classifier_det_fn(eval_data, cfg, train_data):
     kwargs = lambda b: dict(images=b.images, im_hw=b.im_hw,
                             gt_boxes=b.gt_boxes, gt_classes=b.gt_classes,
                             gt_mask=b.gt_mask)
-    example = next(iter(loader))
+    example = loader.peek()
     variables = model.init({"params": jax.random.PRNGKey(0)}, train=False,
                            **kwargs(example))
     params = variables["params"]
@@ -210,7 +210,7 @@ def make_detector_det_fn(eval_data, cfg, train_data):
     kwargs = lambda b: dict(images=b.images, im_hw=b.im_hw,
                             proposals=b.proposals,
                             proposal_mask=b.proposal_mask)
-    example = next(iter(loader))
+    example = loader.peek()
     variables = model.init({"params": jax.random.PRNGKey(0),
                             "sample": jax.random.PRNGKey(1)},
                            train=False, **kwargs(example))

@@ -42,7 +42,7 @@ def main(argv=None, datasets=None):
     loader = Loader(data, cfg.batch_size * cfg.num_devices, shuffle=False,
                     budgets=cfg.budgets, num_workers=cfg.num_workers,
                     drop_last=False, **loader_im_kw(cfg))
-    example = next(iter(loader))
+    example = loader.peek()
     variables = model.init({"params": jax.random.PRNGKey(0),
                             "sample": jax.random.PRNGKey(1),
                             "dropout": jax.random.PRNGKey(2)},

@@ -97,7 +97,7 @@ def main(argv=None):
                            remat=cfg.remat)
     lr = cfg.lr * cfg.num_devices * cfg.batch_size
     tx = make_optimizer(lr, l2=cfg.l2, clip=cfg.clip, adam=cfg.adam)
-    example = next(iter(train_loader))
+    example = train_loader.peek()
     state = create_train_state(model, jax.random.PRNGKey(0),
                                batch_kwargs(example), tx)
     sched = PlateauScheduler()

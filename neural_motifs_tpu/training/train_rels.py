@@ -141,7 +141,7 @@ def main(argv=None):
     tx = make_optimizer(lr, l2=cfg.l2, clip=cfg.clip, adam=cfg.adam,
                         fc_lr_factor=0.1, freeze_detector=True)
     rng = jax.random.PRNGKey(0)
-    example = next(iter(train_loader))
+    example = train_loader.peek()
     state = create_train_state(model, rng, batch_kwargs(example), tx)
 
     sched = PlateauScheduler()

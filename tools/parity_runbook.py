@@ -57,10 +57,15 @@ def check_gate(measured: dict, expected: dict, gate: float) -> dict:
         got = measured[mode]
         diffs = {int(k): round(got[int(k)] - exp[int(k)], 4)
                  for k in exp if int(k) in got}
-        ok = all(abs(diffs[k]) <= gate for k in (50, 100) if k in diffs)
+        # vacuous-pass guard: the gate is DEFINED over R@50/R@100 — if the
+        # measured run didn't produce them, that's a harness failure, not a
+        # pass
+        gate_ks = [k for k in (50, 100) if k in diffs]
+        ok = bool(gate_ks) and all(abs(diffs[k]) <= gate for k in gate_ks)
         out[mode] = {"measured": {int(k): got[int(k)] for k in got},
                      "expected": {int(k): exp[int(k)] for k in exp},
-                     "diff": diffs, "gate": gate, "pass": ok}
+                     "diff": diffs, "gate": gate, "pass": ok,
+                     "gate_ks": gate_ks}
     return out
 
 
@@ -118,18 +123,27 @@ def main(argv=None) -> int:
                         for m, t in json.load(f).items()}
 
     measured = {}
+    skipped = []
+    ds_cache = {}  # keyed by filter_non_overlap; predcls/sgcls share one load
     for mode in modes:
         ckpt = a.sgdet_ckpt if mode == "sgdet" else a.sgcls_ckpt
         if not ckpt:
             print(f"[parity] SKIP {mode}: no checkpoint given", flush=True)
+            skipped.append(mode)
             continue
         print(f"[parity] === {mode} ({ckpt}) ===", flush=True)
-        datasets = build_datasets(a, mode)
-        measured[mode] = run_mode(mode, ckpt, datasets, a.extra_args)
+        key = mode == "sgdet"
+        if key not in ds_cache:
+            ds_cache[key] = build_datasets(a, mode)
+        measured[mode] = run_mode(mode, ckpt, ds_cache[key], a.extra_args)
 
     report = check_gate(measured, expected, a.gate)
-    all_pass = bool(report) and all(r["pass"] for r in report.values())
+    # all_pass means ALL REQUESTED modes ran and passed — a skipped mode is
+    # not a pass (exit 0 must not overstate what was verified)
+    all_pass = (bool(report) and not skipped
+                and all(r["pass"] for r in report.values()))
     payload = {"report": report, "all_pass": all_pass,
+               "skipped_modes": skipped,
                "expected_source": a.expected or "CVPR18 paper table "
                "(re-verify against a fresh reference-eval run)"}
     with open(a.out, "w") as f:
