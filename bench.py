@@ -27,6 +27,29 @@ def build_bench_state(batch=None):
     (model, params, batch_stats, images_np [B,H,W,3] f32, im_hw_np)."""
     import jax
 
+    # Device-discovery watchdog: a wedged remote chip (stale terminal
+    # lease/dead terminal) makes PJRT init block FOREVER with zero output —
+    # fail loud and fast instead so the caller gets a diagnosable record.
+    # Healthy init is < 60 s; compiles happen after devices() returns and
+    # are not subject to this timer.
+    import threading
+
+    _init_done = threading.Event()
+
+    def _watchdog():
+        if not _init_done.wait(300):
+            print(json.dumps({
+                "metric": "sgdet_inference_imgs_per_sec_per_chip",
+                "value": 0.0, "unit": "images/sec", "vs_baseline": 0.0,
+                "error": "TPU device discovery timed out after 300s — "
+                         "remote terminal unreachable/wedged"}), flush=True)
+            import os as _os
+            _os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    jax.devices()
+    _init_done.set()
+
     # persistent compile cache: repeat runs of the same config skip the
     # ~8-minute XLA compile (same knobs tests/conftest.py uses)
     jax.config.update("jax_compilation_cache_dir",
