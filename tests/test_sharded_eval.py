@@ -72,3 +72,33 @@ def test_val_epoch_mesh_matches_single_device():
     assert r_single > 0.0, "degenerate test: zero recall has no power"
     assert r_mesh1 == pytest.approx(r_single, abs=0)
     assert r_mesh8 == pytest.approx(r_single, abs=1e-12)
+
+
+def test_val_epoch_mesh_with_mixed_bucket_shapes():
+    """Aspect-bucketed serving on a mesh: an epoch whose batches carry
+    DIFFERENT image pad shapes (one square bucket, one rect bucket) must
+    run through the sharded val_epoch — eval_fn retraces per shape, the
+    data-sharding respecializes — and produce recalls identical to the
+    unsharded run over the same batches."""
+    assert len(jax.devices()) >= 8
+    state, batches, val_data, cfg, eval_fn = _setup()
+
+    # batch 0 stays on the square (64, 64) budget; batch 1 moves to a rect
+    # (48, 64) bucket: valid region cropped to 48 rows, boxes clipped in
+    h = 48
+    b1 = batches[1]
+    imgs = np.asarray(b1.images).copy()
+    imgs[:, h:] = 0.0
+    im_hw = np.asarray(b1.im_hw).copy()
+    im_hw[:, 0] = h
+    rect = b1._replace(images=imgs[:, :h],
+                       im_hw=im_hw,
+                       gt_boxes=np.asarray(b1.gt_boxes).clip(max=h - 1))
+    mixed = [batches[0], rect]
+
+    r_single = val_epoch(None, state, list(mixed), val_data, cfg, eval_fn,
+                         mesh=None)
+    r_mesh8 = val_epoch(None, state, list(mixed), val_data, cfg, eval_fn,
+                        mesh=make_mesh(num_data=8))
+    assert r_single > 0.0, "degenerate test: zero recall has no power"
+    assert r_mesh8 == pytest.approx(r_single, abs=1e-12)
