@@ -52,6 +52,12 @@ class SyntheticVG:
     def __len__(self):
         return self.num_images
 
+    def image_sizes(self) -> np.ndarray:
+        """[N, 2] original (h, w) — synthetic images are square IM_SCALE
+        arrays, so every image lands in the square aspect bucket; keeps
+        `-im_budget auto` drivable in dataless runs."""
+        return np.full((self.num_images, 2), C.IM_SCALE, np.int64)
+
     def __getitem__(self, index: int) -> dict:
         rng = np.random.RandomState(index)
         img = rng.randn(C.IM_SCALE, C.IM_SCALE, 3).astype(np.float32) * 0.5
