@@ -428,12 +428,20 @@ class Loader:
             self.rng.shuffle(idx)
         per_host = self.batch_size // self.process_count
         lo = self.process_index * per_host
+        out = []
         for k in range(len(self.im_buckets)):
             sel = idx[bucket_idx[idx] == k]
             end = len(sel) - (self.batch_size - 1 if self.drop_last else 0)
             for s in range(0, max(end, 0), self.batch_size):
                 chunk = self._pad_chunk(sel[s:s + self.batch_size])
-                yield chunk[lo:lo + per_host], tuple(self.im_buckets[k])
+                out.append((chunk[lo:lo + per_host],
+                            tuple(self.im_buckets[k])))
+        if self.shuffle:
+            # interleave bucket batches so a training epoch isn't
+            # bucket-contiguous (each batch stays shape-uniform; the same
+            # rng on every host keeps the multi-host order in agreement)
+            self.rng.shuffle(out)
+        yield from out
 
     def _batches(self):
         for chunk, im_budget in self._chunks_with_budget():
@@ -527,6 +535,7 @@ def loader_im_kw(cfg) -> dict:
     smallest of config.DEFAULT_IM_BUCKETS per image), HxW tuple = fixed
     rect budget, None = square IM_SCALE. Shared by every eval entry
     point."""
-    if cfg.im_budget == "auto":
+    im_budget = getattr(cfg, "im_budget", None)
+    if im_budget == "auto":
         return {"im_buckets": C.DEFAULT_IM_BUCKETS}
-    return {"im_budget": cfg.im_budget}
+    return {"im_budget": im_budget}

@@ -88,9 +88,16 @@ def main(argv=None):
 
     mesh = make_mesh()
     global_batch = cfg.batch_size * cfg.num_devices
+    # -im_budget HxW|auto applies to TRAINING too: the reference pads each
+    # blob only to its batch max (dataloaders/blob.py), so bucketed /
+    # rect-budget batches are the faithful shape story, and a 4:3 bucket
+    # cuts ~25% of the backbone FLOPs per step (one compiled step per
+    # bucket shape).
+    from neural_motifs_tpu.data.batching import loader_im_kw
     train_loader, val_loader = Loader.splits(train, val, batch_size=global_batch,
                                              budgets=cfg.budgets,
-                                             num_workers=cfg.num_workers)
+                                             num_workers=cfg.num_workers,
+                                             **loader_im_kw(cfg))
     model = ObjectDetector(num_classes=train.num_classes, mode="rpntrain",
                            dtype=jnp.dtype(cfg.compute_dtype),
                            budgets=cfg.budgets, use_resnet=cfg.use_resnet,

@@ -153,3 +153,39 @@ def test_collate_rect_im_budget(rng):
     import pytest
     with pytest.raises(ValueError, match="pad budget"):
         collate(entries, im_budget=(32, 64))
+
+
+def test_train_step_mixed_bucket_shapes(rng):
+    """Bucketed TRAINING: the same jitted train step must accept batches
+    whose image pad shapes differ (one per aspect bucket) — each shape
+    retraces once, the optimizer state threads through both, and both
+    updates apply."""
+    from neural_motifs_tpu.training.train_state import (create_train_state,
+                                                        make_optimizer,
+                                                        make_train_step)
+
+    det = make_det()
+    batch = tiny_batch(rng)
+    kw_sq = dict(images=batch["images"], im_hw=batch["im_hw"],
+                 gt_boxes=batch["gt_boxes"], gt_classes=batch["gt_classes"],
+                 gt_mask=batch["gt_mask"])
+    h = 48
+    imgs = np.asarray(batch["images"]).copy()
+    imgs[:, h:] = 0.0
+    im_hw = np.asarray(batch["im_hw"]).copy()
+    im_hw[:, 0] = h
+    kw_rect = dict(images=jnp.asarray(imgs[:, :h]), im_hw=jnp.asarray(im_hw),
+                   gt_boxes=jnp.asarray(
+                       np.asarray(batch["gt_boxes"]).clip(max=h - 1)),
+                   gt_classes=batch["gt_classes"], gt_mask=batch["gt_mask"])
+
+    state = create_train_state(det, jax.random.PRNGKey(0), kw_sq,
+                               make_optimizer(1e-3))
+    step = make_train_step(detector_losses, lambda b: b, donate=False)
+    state1, l1 = step(state, kw_sq, jax.random.PRNGKey(1))
+    state2, l2 = step(state1, kw_rect, jax.random.PRNGKey(2))
+    state3, l3 = step(state2, kw_sq, jax.random.PRNGKey(3))
+    for l in (l1, l2, l3):
+        assert np.isfinite(float(l["total"]))
+        assert float(l["skipped"]) == 0.0
+    assert int(state3.step) == 3
