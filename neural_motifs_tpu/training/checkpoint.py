@@ -72,6 +72,31 @@ def restore_train_state(payload: dict, state, sched=None):
     return new
 
 
+def restore_rel_variables(cfg, params, batch_stats):
+    """Shared `-ckpt` restore for the rel-model entry points (eval_rels,
+    tools/predict): a reference vgrel `.tar/.pth/.pt` goes through the torch
+    importer, anything else through the native msgpack loader; both merge
+    via optimistic_restore. Returns (params, batch_stats)."""
+    if not cfg.ckpt:
+        return params, batch_stats
+    if cfg.ckpt.endswith((".tar", ".pth", ".pt")):
+        loaded, loaded_stats = import_reference_rel_model(
+            cfg.ckpt, hidden_dim=cfg.hidden_dim, obj_dim=cfg.obj_dim,
+            embed_dim=cfg.embed_dim, nl_obj=cfg.nl_obj, nl_edge=cfg.nl_edge,
+            pooling_dim=cfg.pooling_dim,
+            pass_in_obj_feats_to_decoder=cfg.pass_in_obj_feats_to_decoder,
+            pass_in_obj_feats_to_edge=cfg.pass_in_obj_feats_to_edge)
+        batch_stats = optimistic_restore(batch_stats, loaded_stats)
+    else:
+        payload = load_checkpoint(cfg.ckpt)
+        loaded = payload["params"]
+        if payload.get("batch_stats"):
+            batch_stats = optimistic_restore(batch_stats,
+                                             payload["batch_stats"])
+    params = optimistic_restore(params, loaded)
+    return params, batch_stats
+
+
 def optimistic_restore(params: Any, loaded: Any, verbose: bool = True) -> Any:
     """Copy name+shape-matching leaves from `loaded` into `params`
     (semantics of reference optimistic_restore, pytorch_misc.py:14-33)."""

@@ -48,22 +48,8 @@ def main(argv=None, datasets=None):
                             "dropout": jax.random.PRNGKey(2)},
                            train=True, **batch_kwargs(example))
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
-    if cfg.ckpt:
-        if cfg.ckpt.endswith((".tar", ".pth", ".pt")):
-            loaded, loaded_stats = ckpt_lib.import_reference_rel_model(
-                cfg.ckpt, hidden_dim=cfg.hidden_dim, obj_dim=cfg.obj_dim,
-                embed_dim=cfg.embed_dim, nl_obj=cfg.nl_obj, nl_edge=cfg.nl_edge,
-                pooling_dim=cfg.pooling_dim,
-                pass_in_obj_feats_to_decoder=cfg.pass_in_obj_feats_to_decoder,
-                pass_in_obj_feats_to_edge=cfg.pass_in_obj_feats_to_edge)
-            batch_stats = ckpt_lib.optimistic_restore(batch_stats, loaded_stats)
-        else:
-            payload = ckpt_lib.load_checkpoint(cfg.ckpt)
-            loaded = payload["params"]
-            if payload.get("batch_stats"):
-                batch_stats = ckpt_lib.optimistic_restore(
-                    batch_stats, payload["batch_stats"])
-        params = ckpt_lib.optimistic_restore(params, loaded)
+    params, batch_stats = ckpt_lib.restore_rel_variables(cfg, params,
+                                                         batch_stats)
 
     eval_fn = jax.jit(lambda p, bs, kw: model.apply(
         {"params": p, "batch_stats": bs}, train=False,
