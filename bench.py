@@ -38,11 +38,28 @@ def build_bench_state(batch=None):
 
     def _watchdog():
         if not _init_done.wait(300):
-            print(json.dumps({
+            rec = {
                 "metric": "sgdet_inference_imgs_per_sec_per_chip",
                 "value": 0.0, "unit": "images/sec", "vs_baseline": 0.0,
                 "error": "TPU device discovery timed out after 300s — "
-                         "remote terminal unreachable/wedged"}), flush=True)
+                         "remote terminal unreachable/wedged"}
+            # attach the most recent on-device measurement (clearly labeled
+            # as prior-round evidence, NOT this run's value) so a
+            # wedged-chip round still carries a diagnosable record
+            try:
+                import os as _os
+                here = _os.path.dirname(_os.path.abspath(__file__))
+                prior = sorted(f for f in _os.listdir(here)
+                               if f.startswith("BENCH_r")
+                               and f.endswith(".json"))
+                if prior:
+                    with open(_os.path.join(here, prior[-1])) as f:
+                        rec["last_good_round"] = {
+                            "file": prior[-1],
+                            "parsed": json.load(f).get("parsed")}
+            except Exception:
+                pass
+            print(json.dumps(rec), flush=True)
             import os as _os
             _os._exit(3)
 
