@@ -88,17 +88,21 @@ def build_bench_state(batch=None):
     rng = np.random.RandomState(0)
     nc, npred = C.VG_NUM_CLASSES, C.VG_NUM_PREDICATES
     model_name = __import__("os").environ.get("NM_BENCH_MODEL", "motifnet")
+    # NM_BENCH_THRESH=0.0 keeps the top-64 rois regardless of (untrained)
+    # detector scores — used by the A/B fidelity tools so sgdet decisions
+    # are non-vacuous at random init (same trick as tools/precision_audit)
+    thresh = float(__import__("os").environ.get("NM_BENCH_THRESH", "0.05"))
     if model_name == "stanford":
         from neural_motifs_tpu.models.rel_model_stanford import RelModelStanford
         model = RelModelStanford(
             num_classes=nc, num_rels=npred, mode="sgdet", budgets=budgets,
-            dtype=jnp.bfloat16, thresh=0.05)
+            dtype=jnp.bfloat16, thresh=thresh)
     else:
         model = RelModel(
             num_classes=nc, num_rels=npred, mode="sgdet", budgets=budgets,
             dtype=jnp.bfloat16, hidden_dim=512, pooling_dim=4096, obj_dim=4096,
             embed_dim=200, nl_obj=2, nl_edge=4, order="leftright", use_bias=True,
-            use_tanh=False, limit_vision=False, thresh=0.05,
+            use_tanh=False, limit_vision=False, thresh=thresh,
             embed_vecs=rng.randn(nc, 200).astype(np.float32) * 0.1,
             decoder_embed_vecs=rng.randn(nc + 1, 100).astype(np.float32) * 0.1,
             freq_table=rng.randn(nc * nc, npred).astype(np.float32) * 0.1,

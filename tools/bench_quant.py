@@ -97,7 +97,12 @@ def main():
               flush=True)
 
     a, b = topk_triplets(preds["bf16"]), topk_triplets(preds["int8"])
-    jac = [len(x & y) / max(len(x | y), 1) for x, y in zip(a, b)]
+    # two empty sets agree perfectly (an image with no surviving rels is
+    # not a divergence) — without this, an all-empty prediction batch
+    # reads as jaccard 0.0 and looks like total disagreement
+    jac = [1.0 if not (x | y) else len(x & y) / len(x | y)
+           for x, y in zip(a, b)]
+    sizes = [len(x) for x in a]
     import json
     print(json.dumps({
         "bf16_img_s": round(results["bf16"], 2),
@@ -105,6 +110,9 @@ def main():
         "speedup": round(results["int8"] / results["bf16"], 3),
         "top100_triplet_jaccard_mean": round(float(np.mean(jac)), 4),
         "top100_triplet_jaccard_min": round(float(np.min(jac)), 4),
+        # if this is ~0 the jaccard comparison is vacuous (no rels kept
+        # at all, e.g. random-init params + sgdet NMS)
+        "bf16_top100_mean_set_size": round(float(np.mean(sizes)), 1),
     }))
 
 

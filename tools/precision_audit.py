@@ -228,7 +228,10 @@ def pretrain(params, batch_stats, batches, steps: int):
     return state.params, state.batch_stats
 
 
-def audit_mode(mode: str, batches, params, batch_stats) -> dict:
+def audit_mode(mode: str, batches, params, batch_stats,
+               include_int8: bool = False) -> dict:
+    import os
+
     import jax
     import jax.numpy as jnp
     from neural_motifs_tpu import config as C
@@ -253,6 +256,27 @@ def audit_mode(mode: str, batches, params, batch_stats) -> dict:
 
     j_bf16, j_f32 = jax.jit(fwd_bf16), jax.jit(fwd_f32)
 
+    # optional int8 leg: same bf16 model, but the QuantDense towers take the
+    # dynamic-int8 matmul path. NM_QUANT is read at TRACE time
+    # (ops/quant.py quant_mode), so the env is set around every int8 call —
+    # the other callables are separate jit instances traced with it unset.
+    def fwd_int8(p, bs, kw):
+        return m_bf16.apply({"params": p, "batch_stats": bs}, train=False,
+                            rngs={"sample": jax.random.PRNGKey(0)}, **kw)
+
+    j_int8 = jax.jit(fwd_int8)
+
+    def call_int8(p, bs, kw):
+        old = os.environ.get("NM_QUANT")
+        os.environ["NM_QUANT"] = "int8"
+        try:
+            return j_int8(p, bs, kw)
+        finally:
+            if old is None:
+                os.environ.pop("NM_QUANT", None)
+            else:
+                os.environ["NM_QUANT"] = old
+
     # three legs: bf16, f32, and the CHAOS CONTROL — the same f32 graph fed
     # images perturbed by zero-mean noise at bf16-ulp relative scale (2^-8).
     # If f32-vs-control diverges as much as bf16-vs-f32, the divergence is
@@ -261,14 +285,19 @@ def audit_mode(mode: str, batches, params, batch_stats) -> dict:
     # defect a dtype pin could remove.
     prng = np.random.RandomState(99)
     preds = {"bf16": [], "f32": [], "f32_perturbed": []}
+    if include_int8:
+        preds["int8"] = []
     for bi, b in enumerate(batches):
         kw = {k: jnp.asarray(b[k]) for k in feed_keys}
         kw_p = dict(kw)
         noise = prng.randn(*b["images"].shape).astype(np.float32)
         kw_p["images"] = jnp.asarray(
             b["images"] * (1.0 + (2.0 ** -8) * noise))
-        for name, fn, k in (("bf16", j_bf16, kw), ("f32", j_f32, kw),
-                            ("f32_perturbed", j_f32, kw_p)):
+        legs = [("bf16", j_bf16, kw), ("f32", j_f32, kw),
+                ("f32_perturbed", j_f32, kw_p)]
+        if include_int8:
+            legs.append(("int8", call_int8, kw))
+        for name, fn, k in legs:
             t0 = time.time()
             out = jax.device_get(fn(params, batch_stats, k))
             preds[name].append(out)
@@ -322,7 +351,7 @@ def audit_mode(mode: str, batches, params, batch_stats) -> dict:
     recalls = {name: eval_recall(p, batches, mode, None)
                for name, p in preds.items()}
     r_bf16, r_f32 = recalls["bf16"], recalls["f32"]
-    return {
+    out = {
         "mode": mode,
         "bf16_vs_f32": divergence(preds["bf16"], preds["f32"]),
         "chaos_control_f32_vs_f32perturbed": divergence(
@@ -331,6 +360,11 @@ def audit_mode(mode: str, batches, params, batch_stats) -> dict:
         "recall_delta_pts": {k: round(r_bf16[k] - r_f32[k], 4)
                              for k in r_bf16},
     }
+    if include_int8:
+        out["int8_vs_bf16"] = divergence(preds["int8"], preds["bf16"])
+        out["int8_recall_delta_pts"] = {
+            k: round(recalls["int8"][k] - r_bf16[k], 4) for k in r_bf16}
+    return out
 
 
 def main(argv=None):
@@ -346,6 +380,9 @@ def main(argv=None):
                         "batches so decisions carry real margins; 0 = audit "
                         "raw random weights (near-tied worst case)")
     p.add_argument("--modes", default="sgcls,sgdet")
+    p.add_argument("--int8", action="store_true",
+                   help="also audit the NM_QUANT=int8 serving path against "
+                        "bf16 (same pretrained params, same inputs)")
     p.add_argument("--out", default=str(REPO / "PRECISION_AUDIT.json"))
     args = p.parse_args(argv)
 
@@ -365,7 +402,8 @@ def main(argv=None):
     results = []
     for mode in [m.strip() for m in args.modes.split(",") if m.strip()]:
         print(f"=== auditing {mode} ===", flush=True)
-        results.append(audit_mode(mode, batches, params, batch_stats))
+        results.append(audit_mode(mode, batches, params, batch_stats,
+                                  include_int8=args.int8))
         print(json.dumps(results[-1], indent=1), flush=True)
 
     artifact = {
