@@ -355,7 +355,7 @@ def audit_mode(mode: str, batches, params, batch_stats,
         "mode": mode,
         "bf16_vs_f32": divergence(preds["bf16"], preds["f32"]),
         "chaos_control_f32_vs_f32perturbed": divergence(
-            preds["f32_perturbed"], preds["f32"]),
+            preds["f32"], preds["f32_perturbed"]),
         "recalls": recalls,
         "recall_delta_pts": {k: round(r_bf16[k] - r_f32[k], 4)
                              for k in r_bf16},
@@ -385,6 +385,13 @@ def main(argv=None):
                         "bf16 (same pretrained params, same inputs)")
     p.add_argument("--out", default=str(REPO / "PRECISION_AUDIT.json"))
     args = p.parse_args(argv)
+
+    import os
+
+    # A pre-exported NM_QUANT would make the bf16/f32/chaos legs trace
+    # through the int8 matmul path (quant_mode() is read at trace time) and
+    # write a false-clean audit; only the explicit int8 leg may set it.
+    os.environ.pop("NM_QUANT", None)
 
     import jax
     jax.config.update("jax_compilation_cache_dir",
