@@ -154,6 +154,29 @@ def main():
                            images=images, im_hw=im_hw, train=False,
                            rngs={"sample": jax.random.PRNGKey(0)})
 
+    def analyzed_flops(*args) -> float | None:
+        """XLA's own FLOP count for the compiled step (counts matmul/conv
+        MACs×2; Pallas custom-calls are opaque to it — NMS/RoIAlign kernels
+        are a small share of total FLOPs, so this slightly UNDERcounts)."""
+        try:
+            cost = forward.lower(*args).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            return float(cost["flops"])
+        except Exception as e:  # remote backends may not expose cost models
+            print(f"# cost_analysis unavailable: {e}", flush=True)
+            return None
+
+    # bf16 peak of the attached chip generation, for MFU
+    _PEAKS = {"TPU v5 lite": 197e12, "TPU v5": 275e12, "TPU v4": 275e12,
+              "TPU v6 lite": 918e12}
+    def peak_flops() -> float | None:
+        kind = jax.devices()[0].device_kind
+        for k, v in _PEAKS.items():
+            if kind.startswith(k):
+                return v
+        return None
+
     # several distinct input buffers, resident on device, cycled so no
     # caching/do-nothing shortcut is possible; every iteration blocks.
     dbufs = [jax.device_put(jnp.asarray(images + 0.01 * k))
@@ -207,12 +230,20 @@ def main():
           f"{[round(t, 4) for t in per_iter]}", flush=True)
     img_s = images.shape[0] / med
 
-    print(json.dumps({
+    rec = {
         "metric": "sgdet_inference_imgs_per_sec_per_chip",
         "value": round(img_s, 3),
         "unit": "images/sec",
         "vs_baseline": round(img_s / TITAN_X_SGDET_IMG_S, 3),
-    }))
+    }
+    flops = analyzed_flops(params, batch_stats, dbufs[0], dhw)
+    peak = peak_flops()
+    if flops:
+        rec["flops_per_img"] = round(flops / images.shape[0], 0)
+        if peak:
+            rec["mfu"] = round(flops / med / peak, 4)
+            rec["peak_flops_bf16"] = peak
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":
