@@ -168,7 +168,8 @@ def geometric_predicate(sub: np.ndarray, obj: np.ndarray,
 
 def sample_structured_scene(rng: np.random.RandomState, num_fg_classes: int,
                             min_objs: int = 4, max_objs: int = 8,
-                            p_child: float = 0.7, margin: float = 0.03):
+                            p_child: float = 0.7, margin: float = 0.03,
+                            box_range: tuple = (0.13, 0.32)):
     """One scene in UNIT coords: (boxes [n,4], classes [n], rels [r,3]).
 
     Base boxes are rejection-sampled to near-disjoint (pairwise IoU < 0.05)
@@ -182,7 +183,7 @@ def sample_structured_scene(rng: np.random.RandomState, num_fg_classes: int,
     boxes = []
     for _ in range(n):
         for _try in range(40):
-            w, h = rng.uniform(0.13, 0.32, 2)
+            w, h = rng.uniform(box_range[0], box_range[1], 2)
             x1 = rng.uniform(0.01, 0.97 - w)
             y1 = rng.uniform(0.01, 0.97 - h)
             cand = np.array([x1, y1, x1 + w, y1 + h], np.float32)
@@ -198,6 +199,9 @@ def sample_structured_scene(rng: np.random.RandomState, num_fg_classes: int,
             if ok:
                 boxes.append(cand)
                 break
+    if not boxes:  # large box_range can exhaust the disjointness retries
+        w, h = box_range
+        boxes = [np.array([0.1, 0.1, 0.1 + w, 0.1 + h], np.float32)]
     boxes = np.stack(boxes)
     classes = rng.randint(1, num_fg_classes + 1, len(boxes)).astype(np.int32)
     if rng.rand() < p_child:
@@ -272,7 +276,8 @@ class StructuredSyntheticVG:
     def __init__(self, num_images: int = 64, mode: str = "train", seed: int = 0,
                  num_classes: int = 16, num_predicates: int = len(STRUCT_PREDICATES),
                  num_fg_classes: int | None = None, im_size: int | None = None,
-                 min_objs: int = 4, max_objs: int = 8, margin: float = 0.03):
+                 min_objs: int = 4, max_objs: int = 8, margin: float = 0.03,
+                 box_range: tuple = (0.13, 0.32)):
         assert num_predicates >= len(STRUCT_PREDICATES)
         self.mode = mode
         self.num_images = num_images
@@ -293,7 +298,8 @@ class StructuredSyntheticVG:
         self.gt_boxes, self.gt_classes, self.relationships = [], [], []
         for _ in range(num_images):
             b, c, r = sample_structured_scene(rng, n_fg, min_objs, max_objs,
-                                              margin=margin)
+                                              margin=margin,
+                                              box_range=box_range)
             self.gt_boxes.append((b * C.BOX_SCALE).astype(np.float32))
             self.gt_classes.append(c)
             self.relationships.append(r)
