@@ -167,6 +167,50 @@ def train_loop(state, step, batches, steps, rng, tag, log_every=100):
 # stages
 # --------------------------------------------------------------------------
 
+def trunk_warmup(det, params, batch_stats, dtb, steps, lr):
+    """Short gtbox-mode class-CE warmup of the trunk + RoI head.
+
+    The reference NEVER trains the detector from a random trunk — it loads
+    ImageNet-pretrained VGG (lib/object_detector.py vgg16(pretrained=True))
+    before rpntrain. From scratch, the joint rpntrain loss has a sticky
+    'predict background everywhere' minimum (~80% of sampled rois are bg,
+    class CE plateaus at fg_frac*ln(NC) with fg accuracy at chance —
+    measured on this synthetic set). 300-400 steps of pure fg class CE over
+    GT boxes makes the trunk class-discriminative first, standing in for
+    the ImageNet init this dataless environment cannot have."""
+    import jax
+    import optax
+    from neural_motifs_tpu.training.losses import masked_ce
+
+    gt_det = det.clone(mode="gtbox")
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(lr, eps=1e-3))
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, batch, key):
+        def loss_fn(p):
+            out = gt_det.apply({"params": p, "batch_stats": batch_stats},
+                               train=True, rngs={"sample": key, "dropout": key},
+                               **batch)
+            ce = masked_ce(out.od_obj_dists, batch["gt_classes"], out.od_valid)
+            acc = (((out.od_obj_dists.argmax(-1) == batch["gt_classes"])
+                    & out.od_valid).sum() / out.od_valid.sum())
+            return ce, acc
+        (ce, acc), g = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        up, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, up), opt, ce, acc
+
+    t0 = time.time()
+    for i in range(steps):
+        params, opt, ce, acc = step(params, opt, dtb[i % len(dtb)],
+                                    jax.random.fold_in(jax.random.PRNGKey(11), i))
+        if i % 100 == 0 or i == steps - 1:
+            print(f"# [det/warmup] step {i}/{steps}: ce {float(ce):.4f} "
+                  f"gtbox-acc {float(acc):.3f}", flush=True)
+    print(f"# [det/warmup] {steps} steps in {time.time() - t0:.1f}s", flush=True)
+    return params
+
+
 def stage_detector(sc, train_b, held_b, dev_train):
     import jax
     import jax.numpy as jnp
@@ -184,6 +228,9 @@ def stage_detector(sc, train_b, held_b, dev_train):
     dtb = [{k: b[k] for k in feed} for b in dev_train]
     tx = make_optimizer(sc["det_lr"], l2=1e-4, clip=5.0, adam=True)
     state = create_train_state(det, jax.random.PRNGKey(0), dtb[0], tx)
+    warm = trunk_warmup(det, state.params, state.batch_stats, dtb,
+                        sc.get("warmup_steps", 400), sc["det_lr"])
+    state = state.replace(params=warm, opt_state=tx.init(warm))
     step = make_train_step(detector_losses, lambda b: b, donate=False)
     state, last = train_loop(state, step, dtb, sc["det_steps"],
                              jax.random.PRNGKey(5), "det")
