@@ -12,10 +12,17 @@ in one shot, without touching any model code:
 For a stats leaf with momentum m, one train-mode pass over batch i updates
     new = m * old + (1 - m) * s_i
 where s_i is the batch statistic. m is a per-module constant we do not
-know here, so we run the SAME batch from two different starting trees
-(old_a, old_b = old_a + 1) and solve elementwise:
-    m   = new_a - new_b + 1... (see below; (new_a-new_b) = m*(a-b) = -m)
-    s_i = (new_a - m * a) / (1 - m)
+know here, so we run the SAME batch from two starting trees of all-zeros
+and all-ones and solve elementwise:
+    new_0 = (1 - m) * s_i          new_1 = m + (1 - m) * s_i
+    m     = new_1 - new_0          s_i   = new_0 / (1 - m)
+Starting from 0/1 (rather than the current stats +- a shift) matters
+numerically: solving s_i = (new - m*old)/(1-m) amplifies float32 rounding
+by |s_i - old|/(1-m) — with torch-0.001 momentum that is 1000x the gap
+between the stale stat and the batch stat, which produced NEGATIVE
+recovered variances (and NaN eval scores) when the gap was ~1e4. With the
+0/1 start every term is O(s_i * (1-m) + 1), so the error stays relative
+to s_i itself.
 
 Batch statistics are pooled over batches by the law of total variance:
 mean = avg of batch means; var = avg of batch vars + var of batch means
@@ -34,17 +41,17 @@ import numpy as np
 
 def _recover_batch_stats(run_pass: Callable[[Any], Any], stats: Any) -> Any:
     """Per-batch statistics implied by one EMA update, solved from two
-    passes with shifted starting stats. run_pass(stats_tree) -> mutated
-    stats tree."""
-    new_a = run_pass(stats)
-    stats_b = jax.tree_util.tree_map(lambda x: x + 1.0, stats)
-    new_b = run_pass(stats_b)
+    passes with all-zeros / all-ones starting stats (train-mode forwards
+    never READ running stats, so the start tree cannot perturb the batch
+    statistic being recovered). run_pass(stats_tree) -> mutated tree."""
+    new_0 = run_pass(jax.tree_util.tree_map(jnp.zeros_like, stats))
+    new_1 = run_pass(jax.tree_util.tree_map(jnp.ones_like, stats))
 
-    def solve(a, na, nb):
-        m = jnp.clip(nb - na, 0.0, 1.0 - 1e-6)  # m = (nb-na)/(b-a), b-a=1
-        return (na - m * a) / (1.0 - m)
+    def solve(n0, n1):
+        m = jnp.clip(n1 - n0, 0.0, 1.0 - 1e-6)
+        return n0 / (1.0 - m)
 
-    return jax.tree_util.tree_map(solve, stats, new_a, new_b)
+    return jax.tree_util.tree_map(solve, new_0, new_1)
 
 
 def calibrate_batch_stats(apply_fn: Callable, params: Any, batch_stats: Any,
@@ -93,7 +100,9 @@ def calibrate_batch_stats(apply_fn: Callable, params: Any, batch_stats: Any,
             mean_key = key[:-1] + ("mean",)
             if mean_key in stacked:
                 mu = stacked[mean_key]
-                pooled.append(arr.mean(0) + mu.var(0))
+                # clamp: recovery noise must never produce a negative
+                # variance (rsqrt would NaN the whole eval forward)
+                pooled.append(np.maximum(arr.mean(0) + mu.var(0), 0.0))
                 continue
         pooled.append(arr.mean(0))
     return jax.tree_util.tree_unflatten(treedef, pooled)

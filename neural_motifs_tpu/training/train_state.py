@@ -58,8 +58,11 @@ def make_optimizer(lr: float, l2: float = 1e-4, clip: float = 5.0,
     reduced-lr group for the VGG fc towers; optional hard-frozen detector
     subtree (no update, no weight decay)."""
     def base(scale):
-        core = (optax.adam(lr * scale, eps=1e-3) if adam
-                else optax.sgd(lr * scale, momentum=momentum))
+        # lr may be a float or an optax schedule (callable step -> rate);
+        # group scale factors compose either way
+        rate = ((lambda ct: lr(ct) * scale) if callable(lr) else lr * scale)
+        core = (optax.adam(rate, eps=1e-3) if adam
+                else optax.sgd(rate, momentum=momentum))
         return optax.chain(optax.add_decayed_weights(l2), core)
 
     def label_fn(params):

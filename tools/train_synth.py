@@ -47,8 +47,8 @@ def scale_cfg(name: str):
                                  rels_per_img=128, max_pairs_eval=4096),
             model_kw=dict(hidden_dim=256, pooling_dim=1024, obj_dim=1024,
                           embed_dim=64, nl_obj=2, nl_edge=2),
-            det_steps=900, rel_steps=1200, sgdet_steps=900,
-            stanford_steps=800, det_lr=1e-3, rel_lr=1e-3)
+            det_steps=900, rel_steps=1600, sgdet_steps=1200,
+            stanford_steps=1000, det_lr=1e-3, rel_lr=1e-3)
     if name == "tiny":  # CPU-runnable smoke (tests/test_train_synth.py).
         # im=96 / boxes 0.35-0.55 of the image: objects are 34-53 px,
         # matching the two smallest learned anchors (35/66 px) so the
@@ -290,6 +290,7 @@ def stage_rel(sc, mode, det_params, det_stats, dev_train, train_b, held_b,
               model_name="motifnet", init_params=None, init_stats=None,
               steps=None):
     import jax
+    import optax
     from neural_motifs_tpu.training.losses import rel_losses
     from neural_motifs_tpu.training.train_state import (create_train_state,
                                                         make_optimizer,
@@ -297,7 +298,15 @@ def stage_rel(sc, mode, det_params, det_stats, dev_train, train_b, held_b,
     from neural_motifs_tpu.training.checkpoint import optimistic_restore
 
     model = build_rel_model(sc, mode, model_name)
-    tx = make_optimizer(sc["rel_lr"], l2=1e-4, clip=5.0, adam=True,
+    # warmup+cosine decay: constant-lr Adam at these scales destabilizes
+    # late (loss dips then blows up with grad-norm spikes once the decoder
+    # commits sharpen); decaying to ~0 both stabilizes and lets the run
+    # actually converge to its overfit floor
+    n_steps = steps or sc["rel_steps"]
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, sc["rel_lr"], min(100, n_steps // 4), n_steps,
+        end_value=sc["rel_lr"] * 0.02)
+    tx = make_optimizer(sched, l2=1e-4, clip=5.0, adam=True,
                         freeze_detector=True)
     state = create_train_state(model, jax.random.PRNGKey(2), dev_train[0], tx)
     params = dict(state.params)
@@ -318,8 +327,7 @@ def stage_rel(sc, mode, det_params, det_stats, dev_train, train_b, held_b,
     step = make_train_step(rel_losses, lambda b: b, donate=False)
     tag = f"{model_name}/{mode}"
     state, last = train_loop(state, step, dev_train,
-                             steps or sc["rel_steps"], jax.random.PRNGKey(9),
-                             tag)
+                             n_steps, jax.random.PRNGKey(9), tag)
     # short runs leave the momentum-0.999 BNs (pos_bn, union-mask convs)
     # with stale running stats -> eval forward diverges from train; set the
     # running stats to the exact dataset statistics before evaluating
