@@ -280,6 +280,14 @@ def build_rel_model(sc, mode, model_name="motifnet"):
     return RelModel(
         num_classes=sc["nc"], num_rels=sc["np_"], mode=mode,
         budgets=sc["budgets"], dtype=jnp.bfloat16, thresh=0.01,
+        # the sgdet candidate-pair overlap prior (reference
+        # rel_model.py:316,425 require_overlap_det) assumes VG-like data
+        # where related objects intersect; the structured predicates
+        # (left/right/above/below) are margin-SEPARATED by construction, so
+        # the prior would exclude ~90% of GT pairs and cap sgdet recall at
+        # the inside/contains share (~6%, measured). The reference exposes
+        # the same knob for the same reason.
+        require_overlap_det=False,
         order="leftright", use_bias=True, rec_dropout=0.1,
         embed_vecs=rng.randn(sc["nc"], kw["embed_dim"]).astype(np.float32) * 0.1,
         decoder_embed_vecs=rng.randn(sc["nc"] + 1, 100).astype(np.float32) * 0.1,
@@ -379,6 +387,13 @@ def main(argv=None):
           f"in {time.time() - t0:.1f}s", flush=True)
     dev_train = [{k: jnp.asarray(v) for k, v in b.items()} for b in train_b]
 
+    # partial re-runs keep the other stages' existing results
+    prior_stages = {}
+    if Path(args.out).exists():
+        try:
+            prior_stages = json.loads(Path(args.out).read_text()).get("stages", {})
+        except Exception:
+            pass
     report = {"scale": args.scale, "backend": jax.default_backend(),
               "device": str(jax.devices()[0]),
               "when": time.strftime("%Y-%m-%d %H:%M:%S"),
@@ -387,13 +402,25 @@ def main(argv=None):
                           "num_predicates": sc["np_"],
                           "predicates": "geometric (left/right/above/below/"
                                         "inside/contains), margin-gated"},
-              "stages": {}}
+              "stages": prior_stages}
 
     from neural_motifs_tpu.training import checkpoint as ckpt_lib
     Path(args.save_dir).mkdir(parents=True, exist_ok=True)
 
     det_params = det_stats = None
     sgcls_params = sgcls_stats = None
+    # stages not re-run this invocation load their saved checkpoints, so a
+    # single stage can be iterated on without retraining its predecessors
+    if "det" not in stages and Path(f"{args.save_dir}/det.mp").exists():
+        pay = ckpt_lib.load_checkpoint(f"{args.save_dir}/det.mp")
+        det_params, det_stats = pay["params"], pay["batch_stats"]
+        print(f"# loaded det checkpoint from {args.save_dir}/det.mp", flush=True)
+    if ("sgcls" not in stages and "sgdet" in stages
+            and Path(f"{args.save_dir}/sgcls.mp").exists()):
+        pay = ckpt_lib.load_checkpoint(f"{args.save_dir}/sgcls.mp")
+        sgcls_params, sgcls_stats = pay["params"], pay["batch_stats"]
+        print(f"# loaded sgcls checkpoint from {args.save_dir}/sgcls.mp",
+              flush=True)
     for stage in stages:
         print(f"=== stage {stage} ===", flush=True)
         check = (lambda cond, msg: None) if args.no_assert else (
