@@ -18,6 +18,14 @@ Opt-in serving knob: NM_QUANT=int8 (off = exact bf16/f32 path, bitwise
 unchanged). Quantization NEVER applies in training mode — gradients flow
 through the float path only. Not used by the parity runbook. The reference
 has no quantized path; this is a TPU-serving extension.
+
+STATUS: EXPERIMENTAL, not recommended at the served config. Measured
+round 3/4: perf-NEUTRAL at the tuned serving config (1.01-1.02x — pair
+compaction already removed the fc-tower bottleneck, docs/ROUND3.md), and
+on the trained synthetic model it costs ~1.4-1.9 R@K points in sgdet
+while being exactly R@K-neutral in sgcls (PRECISION_AUDIT.json,
+int8_recall_delta_pts). Revisit only for exact-mode eval
+(-max_pairs_eval 4096) or other tower-dominated configs.
 """
 
 from __future__ import annotations

@@ -43,7 +43,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def build_model(mode: str, dtype, budgets):
+def build_model(mode: str, dtype, budgets, require_overlap: bool = True):
     import jax.numpy as jnp  # noqa: F401
     from neural_motifs_tpu import config as C
     from neural_motifs_tpu.models.rel_model import RelModel
@@ -59,6 +59,12 @@ def build_model(mode: str, dtype, budgets):
         dtype=dtype, hidden_dim=512, pooling_dim=4096, obj_dim=4096,
         embed_dim=200, nl_obj=2, nl_edge=4, order="leftright", use_bias=True,
         use_tanh=False, limit_vision=False, thresh=0.0,
+        # structured-data audits disable the sgdet candidate-pair overlap
+        # prior: the geometric predicates are margin-separated by
+        # construction, so the VG-style prior would exclude ~90% of GT
+        # pairs and zero the recall legs (same knob + rationale as
+        # tools/train_synth.py build_rel_model)
+        require_overlap_det=require_overlap,
         embed_vecs=rng.randn(nc, 200).astype(np.float32) * 0.1,
         decoder_embed_vecs=rng.randn(nc + 1, 100).astype(np.float32) * 0.1,
         freq_table=rng.randn(nc * nc, npred).astype(np.float32) * 0.1)
@@ -196,6 +202,15 @@ def pretrain_detector(params, batch_stats, batches, steps: int):
     tx = make_optimizer(5e-3, l2=0.0, clip=5.0)
     dparams = dict(params)["detector"]
     dstats = dict(batch_stats).get("detector", {}) if batch_stats else {}
+    # gtbox class-CE trunk warmup first: from a random trunk the joint
+    # rpntrain loss has a sticky predict-background minimum (see
+    # tools/train_synth.py trunk_warmup) and the class head would stay at
+    # chance, zeroing every sgdet recall leg
+    feed_keys = ("images", "im_hw", "gt_boxes", "gt_classes", "gt_mask")
+    warm_b = [{k: jnp.asarray(b[k]) for k in feed_keys} for b in batches]
+    from tools.train_synth import trunk_warmup
+    dparams = trunk_warmup(det, dparams, dstats, warm_b,
+                           max(200, steps // 2), 1e-3)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=dparams,
                        batch_stats=dstats, opt_state=tx.init(dparams),
                        tx=tx, apply_fn=det.apply)
@@ -234,8 +249,13 @@ def pretrain(params, batch_stats, batches, steps: int):
 
     budgets = C.PadBudgets(max_pairs_eval=4096)
     model = build_model("sgcls", jnp.bfloat16, budgets)
-    tx = make_optimizer(1e-3, l2=0.0, clip=5.0, fc_lr_factor=None,
-                        freeze_detector=True)
+    # warmup+cosine decay: constant-lr Adam destabilizes late once decoder
+    # commits sharpen (same failure observed in tools/train_synth.py)
+    import optax
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, 1e-3, min(50, steps // 4), steps, end_value=2e-5)
+    tx = make_optimizer(sched, l2=0.0, clip=5.0, fc_lr_factor=None,
+                        freeze_detector=True, adam=True)
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        batch_stats=batch_stats, opt_state=tx.init(params),
                        tx=tx, apply_fn=model.apply)
@@ -262,7 +282,8 @@ def pretrain(params, batch_stats, batches, steps: int):
 
 
 def audit_mode(mode: str, batches, params, batch_stats,
-               include_int8: bool = False) -> dict:
+               include_int8: bool = False,
+               require_overlap: bool = True) -> dict:
     import os
 
     import jax
@@ -270,8 +291,8 @@ def audit_mode(mode: str, batches, params, batch_stats,
     from neural_motifs_tpu import config as C
 
     budgets = C.PadBudgets(max_pairs_eval=4096)   # exact: every pair scored
-    m_bf16 = build_model(mode, jnp.bfloat16, budgets)
-    m_f32 = build_model(mode, jnp.float32, budgets)
+    m_bf16 = build_model(mode, jnp.bfloat16, budgets, require_overlap)
+    m_f32 = build_model(mode, jnp.float32, budgets, require_overlap)
 
     # gtbox modes consume GT boxes/classes at eval; sgdet consumes only the
     # raw image
@@ -452,7 +473,8 @@ def main(argv=None):
     for mode in [m.strip() for m in args.modes.split(",") if m.strip()]:
         print(f"=== auditing {mode} ===", flush=True)
         results.append(audit_mode(mode, batches, params, batch_stats,
-                                  include_int8=args.int8))
+                                  include_int8=args.int8,
+                                  require_overlap=args.data != "structured"))
         print(json.dumps(results[-1], indent=1), flush=True)
 
     artifact = {
