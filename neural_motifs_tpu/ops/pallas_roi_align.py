@@ -42,6 +42,8 @@ from neural_motifs_tpu.ops.roi_align import _roi_align_matmul, interp_matrix
 Array = jax.Array
 
 ROI_TILE = 32  # rois per program: W2 tile [32*49, H*W] bf16 ~ 4.4 MB @37x37
+               # (sweep r4: 8/16/32/64 all ~32 ms at eval scale with the
+               # amortized-dispatch protocol; 32 keeps VMEM comfortable)
 
 
 def _expansion_constant(h: int, w: int) -> np.ndarray:
@@ -129,6 +131,9 @@ def _pallas_forward(fmap: Array, rois: Array, valid: Array | None,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=fmap_flat.size * 2 * tiles +
             rp * p * p * b * c * 2, transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
         # run in Mosaic interpret mode off-TPU (same policy as pallas_nms)
         interpret=jax.default_backend() != "tpu",
     )(ryx, rxx, jnp.asarray(ey, fmap.dtype), fmap_flat)

@@ -40,15 +40,24 @@ Array = jax.Array
 
 
 def _default_mode() -> str:
-    """Default 'matmul'; NM_ROI_ALIGN=matmul|gather|kron|pallas overrides.
+    """Default 'pallas'; NM_ROI_ALIGN=matmul|gather|kron|pallas overrides.
 
-    Measured on the TPU chip (batch-8 4k-pair union crop, isolated op):
-    matmul 37.8 ms, pallas Kronecker kernel 34.0 ms, kron-in-XLA 93 ms,
-    gather 2x matmul. End-to-end SGDet bench @batch 16, however: matmul
-    40.85 img/s vs pallas 40.14 — XLA's fusion across the separable form's
-    boundaries beats the isolated-op win, so matmul stays the default and
-    the kernel remains a selectable, parity-tested alternative."""
-    return os.environ.get("NM_ROI_ALIGN", "matmul")
+    Measured on the TPU chip (batch-8 4k-pair union crop, isolated op,
+    amortized-dispatch protocol): matmul 37.8 ms (HBM-bound on its
+    [R, P, W, C] intermediate), pallas Kronecker kernel 32.0 ms / 69 TF/s
+    (round-4 retune: parallel dimension_semantics + tile sweep),
+    kron-in-XLA 93 ms, gather 2x matmul. End-to-end SGDet bench @batch 32:
+    pallas 82.8 img/s vs matmul 81.8 — the round-3 fusion penalty that kept
+    matmul the default no longer appears at the compacted b32 config, so
+    the kernel is now the default ON TPU; off-TPU the kernel only exists in
+    slow Mosaic interpret mode, so matmul stays the default there (CPU test
+    suite, multichip dryruns). The separable form also remains the training
+    backward path (custom_vjp) and a selectable eval alternative."""
+    mode = os.environ.get("NM_ROI_ALIGN")
+    if mode:
+        return mode
+    import jax
+    return "pallas" if jax.default_backend() == "tpu" else "matmul"
 
 
 def interp_matrix(lo: Array, hi: Array, out_size: int, grid_size: int) -> Array:
