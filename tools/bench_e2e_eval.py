@@ -16,6 +16,10 @@ the Loader's process pool scales decode). The point of the measurement is
 that the overlap machinery actually hides the device (or loader) time.
 
 Usage: python tools/bench_e2e_eval.py [n_images] [batch]
+       python tools/bench_e2e_eval.py --ab --out BENCH_E2E_r04.json
+(--ab runs the square-592 AND rect-bucket (448x592) configs and writes one
+tracked artifact, so the serving path + the aspect-bucket FLOP cut are
+regression-tracked numbers rather than doc prose.)
 """
 
 from __future__ import annotations
@@ -33,7 +37,7 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def main(n_images=96, batch=8):
+def main(n_images=96, batch=8, im_budget=None):
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/jax_comp_cache")
@@ -63,10 +67,10 @@ def main(n_images=96, batch=8):
     # NM_IM_BUDGET=448x592 pads to a rect landscape bucket (the fabricated
     # 1024x768 JPEGs resize to 444x592) instead of the square 592x592 —
     # measures the aspect-bucketed serving win (~25% fewer backbone FLOPs)
-    im_budget = None
-    if os.environ.get("NM_IM_BUDGET"):
+    if im_budget is None and os.environ.get("NM_IM_BUDGET"):
         hh, ww = os.environ["NM_IM_BUDGET"].lower().split("x")
         im_budget = (int(hh), int(ww))
+    if im_budget is not None:
         print(f"# im_budget {im_budget}")
     loader = Loader(ds, batch, shuffle=False, num_workers=1, prefetch=4,
                     budgets=budgets, process_index=0, process_count=1,
@@ -144,6 +148,7 @@ def main(n_images=96, batch=8):
     result = {
         "metric": "sgdet_e2e_eval_imgs_per_sec",
         "batch": batch,
+        "im_budget": "x".join(map(str, im_budget)) if im_budget else "592x592",
         "loader_only_imgs_s": round(loader_rate, 2),
         "device_only_imgs_s": round(device_rate, 2),
         "e2e_imgs_s": round(e2e_rate, 2),
@@ -158,5 +163,26 @@ def main(n_images=96, batch=8):
 
 
 if __name__ == "__main__":
-    a = sys.argv[1:]
-    main(int(a[0]) if a else 96, int(a[1]) if len(a) > 1 else 8)
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("n_images", nargs="?", type=int, default=96)
+    p.add_argument("batch", nargs="?", type=int, default=8)
+    p.add_argument("--ab", action="store_true",
+                   help="run square-592 AND rect-bucket 448x592 configs")
+    p.add_argument("--out", default=None,
+                   help="write the tracked JSON artifact here")
+    args = p.parse_args()
+    if args.ab:
+        report = {"square": main(args.n_images, args.batch, None),
+                  "bucket": main(args.n_images, args.batch, (448, 592))}
+        sq, bk = report["square"], report["bucket"]
+        report["bucket_speedup_device"] = round(
+            bk["device_only_imgs_s"] / sq["device_only_imgs_s"], 3)
+        report["bucket_speedup_e2e"] = round(
+            bk["e2e_imgs_s"] / sq["e2e_imgs_s"], 3)
+    else:
+        report = main(args.n_images, args.batch)
+    if args.out:
+        Path(args.out).write_text(json.dumps(report, indent=1))
+        print(f"wrote {args.out}")
