@@ -132,8 +132,7 @@ def _pallas_forward(fmap: Array, rois: Array, valid: Array | None,
             flops=flops, bytes_accessed=fmap_flat.size * 2 * tiles +
             rp * p * p * b * c * 2, transcendentals=0),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=100 * 1024 * 1024),
+            dimension_semantics=("parallel", "parallel")),
         # run in Mosaic interpret mode off-TPU (same policy as pallas_nms)
         interpret=jax.default_backend() != "tpu",
     )(ryx, rxx, jnp.asarray(ey, fmap.dtype), fmap_flat)
