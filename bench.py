@@ -77,10 +77,12 @@ def build_bench_state(batch=None):
     from neural_motifs_tpu.models.rel_model import RelModel
 
     # default = the tuned config (round-3 sweep with compaction on:
-    # 78.2 @b24 / 80.4 @b32 / 82.4 @b48 img/s — the ~25ms fixed per-step
-    # runtime overhead amortizes with batch, but b48 pays a ~15min compile
+    # 78.2 @b24 / 80.4 @b32 / 82.4 @b48 img/s; b48 pays a ~15min compile
     # for +2.5%, so b32 is the recorded config) so the tracked BENCH
-    # artifact reflects real capability
+    # artifact reflects real capability. The "~25ms fixed per-step
+    # overhead" noted in earlier rounds was attributed in round 4: it is
+    # the axon tunnel's host-fetch round trip, hidden by the pipelined
+    # loop below and absent from device time (docs/ROUND4.md §3).
     if batch is None:
         batch = int(__import__("os").environ.get("NM_BENCH_BATCH", "32"))
 
