@@ -76,15 +76,16 @@ def build_bench_state(batch=None):
     from neural_motifs_tpu import config as C
     from neural_motifs_tpu.models.rel_model import RelModel
 
-    # default = the tuned config (round-3 sweep with compaction on:
-    # 78.2 @b24 / 80.4 @b32 / 82.4 @b48 img/s; b48 pays a ~15min compile
-    # for +2.5%, so b32 is the recorded config) so the tracked BENCH
-    # artifact reflects real capability. The "~25ms fixed per-step
+    # default = the tuned config (round-4 sweep with the Pallas RoIAlign
+    # default: 82.8 @b32 / 86.2 @b48 img/s — the batch amortizes the
+    # serial NMS/decode chains, and the ~11min cold compile is paid once
+    # into the persistent cache) so the tracked BENCH artifact reflects
+    # real capability. The "~25ms fixed per-step
     # overhead" noted in earlier rounds was attributed in round 4: it is
     # the axon tunnel's host-fetch round trip, hidden by the pipelined
     # loop below and absent from device time (docs/ROUND4.md §3).
     if batch is None:
-        batch = int(__import__("os").environ.get("NM_BENCH_BATCH", "32"))
+        batch = int(__import__("os").environ.get("NM_BENCH_BATCH", "48"))
 
     budgets = C.PadBudgets()
     rng = np.random.RandomState(0)
