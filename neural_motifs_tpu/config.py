@@ -119,7 +119,12 @@ class PadBudgets:
                                  # unless -max_pairs_eval is given. The
                                  # eval entry points report any overflow;
                                  # the parity runbook always forces 4096.
-    rpn_pre_nms_topn_train: int = 6000
+    # reference object_detector.py:560 (roi_proposals defaults, used at
+    # train) and :156-158 (test overrides): pre/post = 12000/2000 train,
+    # 6000/1000 test. Train pre-NMS 12000 covers ~44% of the 37*37*20 =
+    # 27380-anchor grid; matching it keeps the proposal pool the det
+    # sampler sees parity-identical.
+    rpn_pre_nms_topn_train: int = 12000
     rpn_post_nms_topn_train: int = 2000
     rpn_pre_nms_topn_test: int = 6000
     rpn_post_nms_topn_test: int = 1000

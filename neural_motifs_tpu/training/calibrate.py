@@ -47,11 +47,19 @@ def _recover_batch_stats(run_pass: Callable[[Any], Any], stats: Any) -> Any:
     new_0 = run_pass(jax.tree_util.tree_map(jnp.zeros_like, stats))
     new_1 = run_pass(jax.tree_util.tree_map(jnp.ones_like, stats))
 
-    def solve(n0, n1):
-        m = jnp.clip(n1 - n0, 0.0, 1.0 - 1e-6)
-        return n0 / (1.0 - m)
+    def solve(n0, n1, orig):
+        # An element NOT EMA-updated by this forward (e.g. a BN inside a
+        # mode-conditional branch that never ran) comes back unchanged:
+        # n0 == 0, n1 == 1, so n1 - n0 == 1 exactly. A real momentum is
+        # bounded well below 1 (torch default 0.1..0.999), so treat
+        # m >= 1 - 1e-6 as "untouched" and preserve the original stat
+        # instead of corrupting it to mean=0 / var=0.
+        m = n1 - n0
+        untouched = m >= 1.0 - 1e-6
+        m = jnp.clip(m, 0.0, 1.0 - 1e-6)
+        return jnp.where(untouched, orig, n0 / (1.0 - m))
 
-    return jax.tree_util.tree_map(solve, new_0, new_1)
+    return jax.tree_util.tree_map(solve, new_0, new_1, stats)
 
 
 def calibrate_batch_stats(apply_fn: Callable, params: Any, batch_stats: Any,

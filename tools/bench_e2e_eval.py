@@ -174,7 +174,10 @@ if __name__ == "__main__":
                    help="write the tracked JSON artifact here")
     args = p.parse_args()
     if args.ab:
-        report = {"square": main(args.n_images, args.batch, None),
+        # --ab compares square-592 vs rect bucket; a stray NM_IM_BUDGET env
+        # var would silently turn the "square" leg into bucket-vs-bucket.
+        # Pass the explicit square budget so the env var cannot override it.
+        report = {"square": main(args.n_images, args.batch, (592, 592)),
                   "bucket": main(args.n_images, args.batch, (448, 592))}
         sq, bk = report["square"], report["bucket"]
         report["bucket_speedup_device"] = round(

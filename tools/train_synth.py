@@ -387,11 +387,20 @@ def main(argv=None):
           f"in {time.time() - t0:.1f}s", flush=True)
     dev_train = [{k: jnp.asarray(v) for k, v in b.items()} for b in train_b]
 
-    # partial re-runs keep the other stages' existing results
+    # partial re-runs keep the other stages' existing results — but only
+    # when the prior artifact was produced at the SAME --scale; merging
+    # across scales would mislabel carried-over results (and reloading
+    # their checkpoints would crash on param-shape mismatch).
     prior_stages = {}
     if Path(args.out).exists():
         try:
-            prior_stages = json.loads(Path(args.out).read_text()).get("stages", {})
+            prior = json.loads(Path(args.out).read_text())
+            if prior.get("scale") == args.scale:
+                prior_stages = prior.get("stages", {})
+            else:
+                print(f"# prior artifact scale={prior.get('scale')!r} != "
+                      f"--scale {args.scale!r}: not merging its stages",
+                      flush=True)
         except Exception:
             pass
     report = {"scale": args.scale, "backend": jax.default_backend(),
@@ -406,6 +415,17 @@ def main(argv=None):
 
     from neural_motifs_tpu.training import checkpoint as ckpt_lib
     Path(args.save_dir).mkdir(parents=True, exist_ok=True)
+    # checkpoints in save_dir are only reusable at the scale they were
+    # trained at; a marker file guards against cross-scale reloads even
+    # when the JSON artifact is absent
+    scale_marker = Path(args.save_dir) / "scale.txt"
+    if scale_marker.exists() and scale_marker.read_text().strip() != args.scale:
+        print(f"# save_dir checkpoints are scale="
+              f"{scale_marker.read_text().strip()!r}: clearing for "
+              f"--scale {args.scale!r}", flush=True)
+        for stale in Path(args.save_dir).glob("*.mp"):
+            stale.unlink()
+    scale_marker.write_text(args.scale)
 
     det_params = det_stats = None
     sgcls_params = sgcls_stats = None
