@@ -31,20 +31,47 @@ def box_filter(boxes: np.ndarray, must_overlap: bool = False) -> np.ndarray:
     return pairs
 
 
-def get_counts(train_data, must_overlap: bool = True):
+def get_counts(train_data, must_overlap: bool = True, chunk: int = 2000):
     """fg [NC, NC, NP] triple counts + bg [NC, NC] overlapping-pair counts
-    over the training set (get_dataset_counts.py:12-46)."""
+    over the training set (get_dataset_counts.py:12-46).
+
+    Per-image class/pair rows are gathered vectorized and counted by the
+    native nm_count_triples kernel (csrc/nm_runtime.cpp) in image chunks —
+    at VG scale (57k train images, tens of millions of bg pairs) the
+    original per-relation python loop costs minutes of startup."""
+    from neural_motifs_tpu.runtime import count_triples
     nc, npred = train_data.num_classes, train_data.num_predicates
     fg = np.zeros((nc, nc, npred), np.int64)
     bg = np.zeros((nc, nc), np.int64)
+    fg_rows: list = []
+    bg_rows: list = []
+
+    def flush():
+        nonlocal fg, bg
+        if fg_rows:
+            fg = fg + count_triples(np.concatenate(fg_rows), nc, npred)
+            fg_rows.clear()
+        if bg_rows:
+            rows = np.concatenate(bg_rows)
+            rows = np.column_stack([rows, np.zeros(len(rows), np.int32)])
+            bg = bg + count_triples(rows, nc, 1)[:, :, 0]
+            bg_rows.clear()
+
     for i in range(len(train_data)):
-        cls = train_data.gt_classes[i]
-        rels = train_data.relationships[i]
+        cls = np.asarray(train_data.gt_classes[i], np.int32)
+        rels = np.asarray(train_data.relationships[i])
         boxes = train_data.gt_boxes[i]
-        for (s, o, p) in rels:
-            fg[cls[s], cls[o], p] += 1
-        for (s, o) in box_filter(boxes, must_overlap=must_overlap):
-            bg[cls[s], cls[o]] += 1
+        if len(rels):
+            fg_rows.append(np.column_stack(
+                [cls[rels[:, 0]], cls[rels[:, 1]],
+                 rels[:, 2].astype(np.int32)]))
+        pairs = box_filter(boxes, must_overlap=must_overlap)
+        if len(pairs):
+            bg_rows.append(np.column_stack([cls[pairs[:, 0]],
+                                            cls[pairs[:, 1]]]))
+        if (i + 1) % chunk == 0:
+            flush()
+    flush()
     return fg, bg
 
 

@@ -177,6 +177,9 @@ class RelOutput(NamedTuple):
     rel_labels: Optional[Array]
     rel_valid: Array           # [B, P]
     det: Any                   # DetectorOutput
+    rel_inds: Optional[Array] = None   # [B, P, 2] sampled (sub, obj) indices
+                                       # (the reference rel_labels' img/sub/obj
+                                       # columns, train_rels.py:142)
 
 
 class SGPrediction(NamedTuple):
@@ -401,7 +404,8 @@ class RelModel(nn.Module):
             return RelOutput(obj_dists=ctx.obj_dists, obj_valid=valid,
                              obj_labels=det.rm_obj_labels, rel_dists=rel_dists,
                              rel_labels=pairs.label, rel_valid=pairs.valid,
-                             det=det)
+                             det=det,
+                             rel_inds=jnp.stack([pairs.sub, pairs.obj], -1))
 
         return self.decode(det, ctx, pairs, rel_dists,
                            num_valid_pairs=num_valid_pairs)

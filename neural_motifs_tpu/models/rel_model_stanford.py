@@ -193,7 +193,8 @@ class RelModelStanford(nn.Module):
             return RelOutput(obj_dists=obj_dists, obj_valid=valid,
                              obj_labels=det.rm_obj_labels, rel_dists=rel_dists,
                              rel_labels=pairs.label, rel_valid=pairs.valid,
-                             det=det)
+                             det=det,
+                             rel_inds=jnp.stack([pairs.sub, pairs.obj], -1))
         return self._decode(det, obj_dists, rel_dists, pairs,
                             gt_classes=gt_classes,
                             num_valid_pairs=num_valid_pairs)

@@ -408,3 +408,22 @@ def test_loader_tail_padding_covers_all_images(tmp_path):
                     prefetch=0, process_index=0, process_count=1)
     ids = [list(map(int, b.image_ids)) for b in loader]
     assert ids == [[0, 1], [2, 3], [4, -1]]
+
+
+def test_get_counts_matches_naive_loop():
+    """The vectorized + native-kernel get_counts (nm_count_triples,
+    csrc/nm_runtime.cpp) must count exactly what the reference's per-image
+    python loop counts (get_dataset_counts.py:12-46), incl. mid-epoch chunk
+    flushes."""
+    ds = SyntheticVG(num_images=11, num_classes=8, num_predicates=5)
+    fg, bg = get_counts(ds, must_overlap=True, chunk=3)
+    fg2 = np.zeros_like(fg)
+    bg2 = np.zeros_like(bg)
+    for i in range(len(ds)):
+        cls = ds.gt_classes[i]
+        for (s, o, p) in ds.relationships[i]:
+            fg2[cls[s], cls[o], p] += 1
+        for (s, o) in box_filter(ds.gt_boxes[i], must_overlap=True):
+            bg2[cls[s], cls[o]] += 1
+    np.testing.assert_array_equal(fg, fg2)
+    np.testing.assert_array_equal(bg, bg2)
