@@ -74,6 +74,22 @@ VG_NUM_PREDICATES = 51
 # Data paths (override via env)
 # ---------------------------------------------------------------------------
 
+def enable_compile_cache():
+    """Persistent XLA compile cache for every CLI entry point (previously
+    only tests/tools set it). Full-scale f32 graphs take ~20 min of remote
+    AOT compile AND balloon the axon client to ~30 GB host RSS while the
+    compile RPC is pending (measured by the dress rehearsal, round 5) —
+    a cache hit skips both. Opt out with NM_NO_COMPILE_CACHE=1."""
+    if os.environ.get("NM_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("NM_COMPILE_CACHE",
+                                     "/root/.cache/jax_comp_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
 DATA_PATH = os.environ.get("NM_TPU_DATA", os.path.join(os.path.dirname(__file__), "..", "data"))
 
 
@@ -282,6 +298,7 @@ class ModelConfig:
 
     @classmethod
     def from_args(cls, argv=None) -> "ModelConfig":
+        enable_compile_cache()
         args = vars(cls.setup_parser().parse_args(argv))
         for k in ("ckpt", "det_ckpt", "save_dir", "cache"):
             if not args.get(k):

@@ -41,9 +41,23 @@ from neural_motifs_tpu.ops.roi_align import _roi_align_matmul, interp_matrix
 
 Array = jax.Array
 
-ROI_TILE = 32  # rois per program: W2 tile [32*49, H*W] bf16 ~ 4.4 MB @37x37
-               # (sweep r4: 8/16/32/64 all ~32 ms at eval scale with the
-               # amortized-dispatch protocol; 32 keeps VMEM comfortable)
+ROI_TILE = 32  # rois per program at bf16 (sweep r4: 8/16/32/64 all ~32 ms
+               # at eval scale with the amortized-dispatch protocol)
+
+
+def _pick_roi_tile(hw: int, p: int, itemsize: int) -> int:
+    """Largest power-of-two tile whose scoped-VMEM working set fits.
+
+    The kernel's live set per program is ~2.4 buffers of the
+    [tile*p*p, hw] temporaries (rye/rxe/w2, partially reused by Mosaic):
+    measured 20.34 MB at (tile=32, p=7, hw=1369, f32) against the 16 MB
+    scoped limit — the f32 full-budget OOM the dress rehearsal caught
+    (parity runbook pins -dtype float32). Budget 12 MB for safety."""
+    per_tile = 2.4 * p * p * hw * itemsize
+    t = ROI_TILE
+    while t > 1 and t * per_tile > 12e6:
+        t //= 2
+    return t
 
 
 def _expansion_constant(h: int, w: int) -> np.ndarray:
@@ -93,13 +107,14 @@ def _pallas_forward(fmap: Array, rois: Array, valid: Array | None,
     ry = ry.astype(fmap.dtype)
     rx = rx.astype(fmap.dtype)
 
-    pad = (-r) % ROI_TILE
+    roi_tile = _pick_roi_tile(h * w, p, jnp.dtype(fmap.dtype).itemsize)
+    pad = (-r) % roi_tile
     if pad:
         ry = jnp.pad(ry, ((0, 0), (0, pad), (0, 0), (0, 0)))
         rx = jnp.pad(rx, ((0, 0), (0, pad), (0, 0), (0, 0)))
     rp = r + pad
-    tiles = rp // ROI_TILE
-    rows_per_tile = ROI_TILE * p * p
+    tiles = rp // roi_tile
+    rows_per_tile = roi_tile * p * p
 
     # row-broadcast to the (r, p, q) grid OUTSIDE the kernel (tiny: [*, H]
     # columns, ~58MB at eval scale) so the kernel body stays 2-D

@@ -162,3 +162,25 @@ def test_pallas_kernel_grad(rng):
         _roi_align_impl(f, rois, valid, 7, 1.0 / 16.0, mode="matmul") ** 2))(fmap)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gr), rtol=1e-5,
                                atol=1e-5)
+
+
+def test_pallas_roi_tile_fits_scoped_vmem():
+    """VMEM-aware tile chooser (dress-rehearsal regression): the f32
+    full-budget eval shape (p=7, 37x37 fmap) OOM'd scoped VMEM at tile 32
+    (20.34M measured vs the 16M limit); the chooser must shrink the f32
+    tile while keeping bf16 at the swept optimum, and its working-set
+    model must stay under the limit for every (dtype, fmap) the budgets
+    can produce."""
+    from neural_motifs_tpu.ops.pallas_roi_align import (ROI_TILE,
+                                                        _pick_roi_tile)
+
+    assert _pick_roi_tile(37 * 37, 7, 2) == ROI_TILE      # bf16 unchanged
+    t32 = _pick_roi_tile(37 * 37, 7, 4)
+    assert t32 < ROI_TILE                                 # f32 must shrink
+    for hw in (37 * 37, 28 * 37, 19 * 19, 7 * 7):
+        for itemsize in (2, 4):
+            t = _pick_roi_tile(hw, 7, itemsize)
+            assert 1 <= t <= ROI_TILE and (t & (t - 1)) == 0
+            # measured: scoped footprint ~= 2.4 buffers of the
+            # [tile*p*p, hw] temporaries (20.34M at tile=32/f32/1369)
+            assert 2.4 * t * 49 * hw * itemsize <= 16e6 or t == 1

@@ -14,6 +14,11 @@ Stages (each records train + heldout recall into TRAINED_SYNTH.json):
   sgdet    MotifNet refinerels training seeded from the sgcls weights
            (the reference's refine_for_detection.sh recipe)
   stanford RelModelStanford sgcls training (GRU message passing)
+  stanford-sgdet  RelModelStanford refinerels training seeded from the
+           stanford sgcls weights
+  sgcls-plateau   MotifNet sgcls with the reference's constant-lr +
+           ReduceLROnPlateau(R@100) + early-exit recipe
+           (train_rels.py:68-69,203-207) instead of cosine decay
 
 Run: python tools/train_synth.py [--scale full|mid] [--stages det,sgcls,...]
 """
@@ -275,6 +280,7 @@ def build_rel_model(sc, mode, model_name="motifnet"):
         return RelModelStanford(num_classes=sc["nc"], num_rels=sc["np_"],
                                 mode=mode, budgets=sc["budgets"],
                                 dtype=jnp.bfloat16, thresh=0.01,
+                                require_overlap_det=False,  # see below
                                 obj_dim=kw["obj_dim"])
     from neural_motifs_tpu.models.rel_model import RelModel
     return RelModel(
@@ -296,7 +302,7 @@ def build_rel_model(sc, mode, model_name="motifnet"):
 
 def stage_rel(sc, mode, det_params, det_stats, dev_train, train_b, held_b,
               model_name="motifnet", init_params=None, init_stats=None,
-              steps=None):
+              steps=None, recipe="cosine"):
     import jax
     import optax
     from neural_motifs_tpu.training.losses import rel_losses
@@ -306,14 +312,21 @@ def stage_rel(sc, mode, det_params, det_stats, dev_train, train_b, held_b,
     from neural_motifs_tpu.training.checkpoint import optimistic_restore
 
     model = build_rel_model(sc, mode, model_name)
-    # warmup+cosine decay: constant-lr Adam at these scales destabilizes
-    # late (loss dips then blows up with grad-norm spikes once the decoder
-    # commits sharpen); decaying to ~0 both stabilizes and lets the run
-    # actually converge to its overfit floor
     n_steps = steps or sc["rel_steps"]
-    sched = optax.warmup_cosine_decay_schedule(
-        0.0, sc["rel_lr"], min(100, n_steps // 4), n_steps,
-        end_value=sc["rel_lr"] * 0.02)
+    if recipe == "plateau":
+        # the reference recipe verbatim: constant lr + ReduceLROnPlateau on
+        # val R@100 with early exit once lr decays below lr/100
+        # (train_rels.py:68-69,203-207) — proves the PlateauScheduler /
+        # set_lr_scale path trains end-to-end, not just its unit tests
+        sched = sc["rel_lr"]
+    else:
+        # warmup+cosine decay: constant-lr Adam at these scales destabilizes
+        # late (loss dips then blows up with grad-norm spikes once the
+        # decoder commits sharpen); decaying to ~0 both stabilizes and lets
+        # the run actually converge to its overfit floor
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, sc["rel_lr"], min(100, n_steps // 4), n_steps,
+            end_value=sc["rel_lr"] * 0.02)
     tx = make_optimizer(sched, l2=1e-4, clip=5.0, adam=True,
                         freeze_detector=True)
     state = create_train_state(model, jax.random.PRNGKey(2), dev_train[0], tx)
@@ -334,17 +347,46 @@ def stage_rel(sc, mode, det_params, det_stats, dev_train, train_b, held_b,
 
     step = make_train_step(rel_losses, lambda b: b, donate=False)
     tag = f"{model_name}/{mode}"
-    state, last = train_loop(state, step, dev_train,
-                             n_steps, jax.random.PRNGKey(9), tag)
     # short runs leave the momentum-0.999 BNs (pos_bn, union-mask convs)
     # with stale running stats -> eval forward diverges from train; set the
     # running stats to the exact dataset statistics before evaluating
     from neural_motifs_tpu.training.calibrate import calibrate_batch_stats
-    bs = calibrate_batch_stats(
-        model.apply, state.params, state.batch_stats, dev_train,
-        rngs=lambda i: {"sample": jax.random.PRNGKey(100 + i),
-                        "dropout": jax.random.PRNGKey(200 + i)})
-    state = state.replace(batch_stats=bs)
+
+    def calibrated(st):
+        return calibrate_batch_stats(
+            model.apply, st.params, st.batch_stats, dev_train,
+            rngs=lambda i: {"sample": jax.random.PRNGKey(100 + i),
+                            "dropout": jax.random.PRNGKey(200 + i)})
+
+    if recipe == "plateau":
+        from neural_motifs_tpu.training.train_state import (PlateauScheduler,
+                                                            set_lr_scale)
+        plateau = PlateauScheduler(patience=2, cooldown=1)
+        chunk = max(1, n_steps // 8)
+        base_scale, ejit, last = 1.0, None, None
+        for ep in range(12):           # epochs-of-chunks, early exit below
+            state, last = train_loop(state, step, dev_train, chunk,
+                                     jax.random.fold_in(
+                                         jax.random.PRNGKey(9), ep),
+                                     f"{tag}/plateau-e{ep}", log_every=chunk)
+            r_held, ejit = eval_recall(model, state.params,
+                                       calibrated(state), held_b, mode,
+                                       ejit)
+            scale = plateau.step(r_held[100])
+            print(f"# [{tag}] plateau e{ep}: heldout R@100 {r_held[100]} "
+                  f"lr-scale {scale}", flush=True)
+            if scale != base_scale:
+                base_scale = scale
+                state = state.replace(
+                    opt_state=set_lr_scale(state.opt_state, scale))
+            if scale <= 1 / 99.0:      # train_rels.py:203-207 early exit
+                print(f"# [{tag}] plateau early exit at epoch {ep}",
+                      flush=True)
+                break
+    else:
+        state, last = train_loop(state, step, dev_train,
+                                 n_steps, jax.random.PRNGKey(9), tag)
+    state = state.replace(batch_stats=calibrated(state))
     r_train, ejit = eval_recall(model, state.params, state.batch_stats,
                                 train_b, mode)
     r_held, _ = eval_recall(model, state.params, state.batch_stats,
@@ -441,6 +483,13 @@ def main(argv=None):
         sgcls_params, sgcls_stats = pay["params"], pay["batch_stats"]
         print(f"# loaded sgcls checkpoint from {args.save_dir}/sgcls.mp",
               flush=True)
+    stanford_params = stanford_stats = None
+    if ("stanford" not in stages and "stanford-sgdet" in stages
+            and Path(f"{args.save_dir}/stanford.mp").exists()):
+        pay = ckpt_lib.load_checkpoint(f"{args.save_dir}/stanford.mp")
+        stanford_params, stanford_stats = pay["params"], pay["batch_stats"]
+        print(f"# loaded stanford checkpoint from {args.save_dir}/stanford.mp",
+              flush=True)
     for stage in stages:
         print(f"=== stage {stage} ===", flush=True)
         check = (lambda cond, msg: None) if args.no_assert else (
@@ -454,20 +503,27 @@ def main(argv=None):
                   f"detector failed to learn: mAP@0.5 {rep['heldout_map50']}")
         else:
             assert det_params is not None, f"stage {stage} needs det first"
-            mode = "sgdet" if stage == "sgdet" else "sgcls"
-            model_name = "stanford" if stage == "stanford" else "motifnet"
-            steps = sc["sgdet_steps"] if stage == "sgdet" else (
-                sc["stanford_steps"] if stage == "stanford" else None)
+            mode = "sgdet" if stage.endswith("sgdet") else "sgcls"
+            model_name = ("stanford" if stage.startswith("stanford")
+                          else "motifnet")
+            steps = (sc["sgdet_steps"] if stage.endswith("sgdet") else
+                     (sc["stanford_steps"] if stage == "stanford" else None))
+            init_p, init_s = {
+                "sgdet": (sgcls_params, sgcls_stats),
+                "stanford-sgdet": (stanford_params, stanford_stats),
+            }.get(stage, (None, None))
             rstate, rep = stage_rel(
                 sc, mode, det_params, det_stats, dev_train, train_b, held_b,
-                model_name=model_name,
-                init_params=sgcls_params if stage == "sgdet" else None,
-                init_stats=sgcls_stats if stage == "sgdet" else None,
-                steps=steps)
+                model_name=model_name, init_params=init_p, init_stats=init_s,
+                steps=steps,
+                recipe="plateau" if stage == "sgcls-plateau" else "cosine")
             if stage == "sgcls":
                 sgcls_params, sgcls_stats = rstate.params, rstate.batch_stats
+            if stage == "stanford":
+                stanford_params = rstate.params
+                stanford_stats = rstate.batch_stats
             ckpt_lib.save_checkpoint(f"{args.save_dir}/{stage}.mp", rstate)
-            if stage == "sgcls":
+            if stage in ("sgcls", "sgcls-plateau"):
                 check(rep["recall_train"][20] >= 85.0,
                       f"sgcls failed to overfit: train R@20 {rep['recall_train']}")
                 check(rep["recall_heldout"][20] >= 30.0,
