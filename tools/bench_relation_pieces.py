@@ -37,16 +37,18 @@ def timed(name, fn, *args, iters=8):
     import jax
     import jax.numpy as jnp
     jf = jax.jit(fn)
+    # barrier WITHOUT materializing an f32 copy of the (multi-GB at b32)
+    # output: sum in the native dtype, cast only the scalar
+    fetch = jax.jit(lambda o: jnp.sum(
+        jax.tree_util.tree_leaves(o)[0]).astype(jnp.float32))
     t0 = time.time()
     out = jf(*args)
-    first = jax.tree_util.tree_leaves(out)[0]
-    _ = float(jnp.sum(first.astype(jnp.float32)))
+    _ = float(fetch(out))
     compile_s = time.time() - t0
     t0 = time.time()
     for _i in range(iters):
         out = jf(*args)
-    first = jax.tree_util.tree_leaves(out)[0]
-    _ = float(jnp.sum(first.astype(jnp.float32)))
+    _ = float(fetch(out))
     med = (time.time() - t0) / iters
     print(f"{name:16s} {med * 1000:8.2f} ms   (compile {compile_s:.1f}s)",
           flush=True)
