@@ -19,13 +19,17 @@ unchanged). Quantization NEVER applies in training mode — gradients flow
 through the float path only. Not used by the parity runbook. The reference
 has no quantized path; this is a TPU-serving extension.
 
-STATUS: EXPERIMENTAL, not recommended at the served config. Measured
-round 3/4: perf-NEUTRAL at the tuned serving config (1.01-1.02x — pair
-compaction already removed the fc-tower bottleneck, docs/ROUND3.md), and
-on the trained synthetic model it costs ~1.4-1.9 R@K points in sgdet
+STATUS: RETIRED as a serving knob (round 5; was EXPERIMENTAL in round 4).
+Measured round 3/4: perf-NEUTRAL at the tuned serving config (1.01-1.02x —
+pair compaction already removed the fc-tower bottleneck, docs/ROUND3.md),
+and on the trained synthetic model it costs ~1.4-1.9 R@K points in sgdet
 while being exactly R@K-neutral in sgcls (PRECISION_AUDIT.json,
-int8_recall_delta_pts). Revisit only for exact-mode eval
-(-max_pairs_eval 4096) or other tower-dominated configs.
+int8_recall_delta_pts) — the weight scales are ALREADY per-output-channel,
+so the accuracy loss is in the dynamic per-row activation absmax and is
+not recoverable by weight-side calibration. All cost, no win: removed
+from README's serving-knob list; the code + tests stay as research
+material for exact-mode eval (-max_pairs_eval 4096) or other
+tower-dominated configs where the 2x int8 MXU rate could matter.
 """
 
 from __future__ import annotations
