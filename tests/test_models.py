@@ -341,3 +341,37 @@ def test_stanford_pair_compaction_matches_exact(rng):
         for so in m_full:
             np.testing.assert_allclose(m_full[so], m_comp[so],
                                        rtol=1e-4, atol=1e-6, err_msg=f"{so}")
+
+
+@pytest.mark.fast
+def test_stanford_frozen_detector_gradient_boundary(rng):
+    """Stanford counterpart of the MotifNet grad-parity boundary check
+    (train_rels.py:51-52): one value_and_grad step must put EXACTLY zero
+    gradient into the detector subtree and nonzero gradient into the
+    message-passing leaves (the MotifNet side is oracle-checked in
+    test_grad_parity.py; Stanford's forward has its own e2e parity, this
+    pins its training boundary)."""
+    from flax.traverse_util import flatten_dict
+
+    model = make_model("sgcls", model_cls=RelModelStanford)
+    batch = tiny_batch(rng)
+    variables = model.init(RNGS, train=True, **batch)
+    params, bstats = variables["params"], variables.get("batch_stats", {})
+
+    def loss_fn(p):
+        out, _ = model.apply({"params": p, "batch_stats": bstats},
+                             train=True, rngs=RNGS,
+                             mutable=["batch_stats"], **batch)
+        return rel_losses(out)["total"]
+
+    grads = jax.grad(loss_fn)(params)
+    flat = flatten_dict(grads, sep="/")
+    det = [k for k in flat if k.startswith("detector/")]
+    assert det, "no detector leaves"
+    for k in det:
+        assert np.all(np.asarray(flat[k]) == 0.0), f"grad leaked into {k}"
+    live = [k for k in flat if not k.startswith("detector/")]
+    nonzero = [k for k in live if np.abs(np.asarray(flat[k])).max() > 0]
+    # the GRU + message-passing + output heads must all carry gradient
+    assert len(nonzero) >= len(live) * 0.6, \
+        f"too few live grads: {len(nonzero)}/{len(live)}"
