@@ -283,7 +283,8 @@ def pretrain(params, batch_stats, batches, steps: int):
 
 def audit_mode(mode: str, batches, params, batch_stats,
                include_int8: bool = False,
-               require_overlap: bool = True) -> dict:
+               require_overlap: bool = True,
+               chaos_seeds: int = 1) -> dict:
     import os
 
     import jax
@@ -405,6 +406,30 @@ def audit_mode(mode: str, batches, params, batch_stats,
     recalls = {name: eval_recall(p, batches, mode, None)
                for name, p in preds.items()}
     r_bf16, r_f32 = recalls["bf16"], recalls["f32"]
+
+    # chaos envelope as a DISTRIBUTION: re-run the perturbed-f32 leg with
+    # `chaos_seeds` independent noise draws and record each seed's R@K
+    # delta vs clean f32. "bf16 is inside the envelope" then means its
+    # delta lies within the min..max of f32-vs-itself noise, not within a
+    # single lucky draw.
+    chaos_deltas = {k: [] for k in r_f32}
+    for s in range(chaos_seeds):
+        if s == 0 and preds.get("f32_perturbed"):
+            r_p = recalls["f32_perturbed"]
+        else:
+            seed_preds = []
+            srng = np.random.RandomState(1000 + s)
+            for b in batches:
+                kw_s = {k: jnp.asarray(b[k]) for k in feed_keys}
+                noise = srng.randn(*b["images"].shape).astype(np.float32)
+                kw_s["images"] = jnp.asarray(
+                    b["images"] * (1.0 + (2.0 ** -8) * noise))
+                seed_preds.append(jax.device_get(
+                    j_f32(params, batch_stats, kw_s)))
+            r_p = eval_recall(seed_preds, batches, mode, None)
+        for k in chaos_deltas:
+            chaos_deltas[k].append(round(r_p[k] - r_f32[k], 4))
+
     out = {
         "mode": mode,
         "bf16_vs_f32": divergence(preds["bf16"], preds["f32"]),
@@ -413,6 +438,11 @@ def audit_mode(mode: str, batches, params, batch_stats,
         "recalls": recalls,
         "recall_delta_pts": {k: round(r_bf16[k] - r_f32[k], 4)
                              for k in r_bf16},
+        "chaos_recall_delta_pts_per_seed": chaos_deltas,
+        "bf16_delta_inside_chaos_envelope": {
+            k: bool(min(v) - 0.5 <= round(r_bf16[k] - r_f32[k], 4)
+                    <= max(v) + 0.5)
+            for k, v in chaos_deltas.items()},
     }
     if include_int8:
         out["int8_vs_bf16"] = divergence(preds["int8"], preds["bf16"])
@@ -444,6 +474,10 @@ def main(argv=None):
                         "noise (near-tie worst case for flip rates)")
     p.add_argument("--fg-classes", type=int, default=12,
                    help="structured data: number of distinct color classes")
+    p.add_argument("--chaos-seeds", type=int, default=1,
+                   help="independent perturbation draws for the chaos "
+                        "envelope (per-seed R@K deltas recorded; >1 makes "
+                        "'bf16 inside the envelope' a distributional claim)")
     p.add_argument("--out", default=str(REPO / "PRECISION_AUDIT.json"))
     args = p.parse_args(argv)
 
@@ -474,7 +508,8 @@ def main(argv=None):
         print(f"=== auditing {mode} ===", flush=True)
         results.append(audit_mode(mode, batches, params, batch_stats,
                                   include_int8=args.int8,
-                                  require_overlap=args.data != "structured"))
+                                  require_overlap=args.data != "structured",
+                                  chaos_seeds=args.chaos_seeds))
         print(json.dumps(results[-1], indent=1), flush=True)
 
     artifact = {
